@@ -1,0 +1,10 @@
+"""JAX ops: bilinear sampling, plane-sweep homography, cost-volume build,
+deformable-conv sampling.  Pure-XLA reference implementations live here;
+speed-of-light Pallas kernels live in :mod:`aa_rmvsnet_tpu.ops.pallas` and
+are numerically validated against these.
+"""
+
+from .grid_sample import bilinear_sample, bilinear_sample_normalized
+from .homography import homography_terms, plane_sweep_coords, warp_src_feature
+from .cost_volume import reweighted_variance_slice
+from .resize import resize_bilinear_align_corners, resize_trilinear_align_corners

@@ -1,0 +1,188 @@
+"""Golden tests for the XLA ops against torch / the reference implementation."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from aa_rmvsnet_tpu.ops import (
+    bilinear_sample,
+    bilinear_sample_normalized,
+    warp_src_feature,
+    resize_bilinear_align_corners,
+    resize_trilinear_align_corners,
+)
+from aa_rmvsnet_tpu.ops.deform import deform_sample, deform_conv_apply
+
+from conftest import reference_available
+
+
+def rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+class TestBilinearSample:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_torch_grid_sample(self, seed):
+        B, H, W, C = 2, 13, 17, 5
+        feat = rand(B, H, W, C, seed=seed)
+        # grid spanning in-bounds and far out-of-bounds
+        grid = (np.random.RandomState(seed + 10).rand(B, 9, 11, 2) * 3 - 1.5).astype(np.float32)
+
+        ours = np.asarray(bilinear_sample_normalized(jnp.asarray(feat), jnp.asarray(grid)))
+
+        t_feat = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        t_out = F.grid_sample(
+            t_feat, torch.from_numpy(grid), mode="bilinear",
+            padding_mode="zeros", align_corners=True,
+        )
+        theirs = t_out.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_pixel_coords_identity(self):
+        """Sampling at integer pixel centers returns the texels themselves."""
+        feat = rand(1, 6, 7, 3)
+        ys, xs = np.meshgrid(np.arange(6), np.arange(7), indexing="ij")
+        coords = np.stack([xs, ys], -1).astype(np.float32)[None]
+        out = np.asarray(bilinear_sample(jnp.asarray(feat), jnp.asarray(coords)))
+        np.testing.assert_allclose(out, feat, atol=1e-6)
+
+    def test_out_of_bounds_is_zero(self):
+        feat = np.ones((1, 4, 4, 2), np.float32)
+        coords = np.array([[[-2.0, -2.0], [10.0, 1.0], [1.0, 8.5]]], np.float32)
+        out = np.asarray(bilinear_sample(jnp.asarray(feat), jnp.asarray(coords)))
+        np.testing.assert_array_equal(out, 0)
+
+
+class TestResize:
+    @pytest.mark.parametrize("scale", [2, 4])
+    def test_bilinear_upsample_matches_torch(self, scale):
+        x = rand(2, 9, 11, 6, seed=3)
+        ours = np.asarray(
+            resize_bilinear_align_corners(jnp.asarray(x), 9 * scale, 11 * scale)
+        )
+        t = F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=scale,
+            mode="bilinear", align_corners=True,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, t, atol=1e-5)
+
+    def test_trilinear_matches_torch(self):
+        x = rand(1, 12, 10, 8, 2, seed=4)  # N, D, H, W, C
+        ours = np.asarray(resize_trilinear_align_corners(jnp.asarray(x), 32, 5, 4))
+        t = F.interpolate(
+            torch.from_numpy(x).permute(0, 4, 1, 2, 3), size=(32, 5, 4),
+            mode="trilinear", align_corners=True,
+        ).permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(ours, t, atol=1e-5)
+
+    def test_downsample_matches_torch(self):
+        x = rand(1, 16, 16, 3, seed=5)
+        ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 8, 4))
+        t = F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(8, 4),
+            mode="bilinear", align_corners=True,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, t, atol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference tree absent")
+class TestHomographyWarp:
+    def _random_projs(self, B, seed=0):
+        """Plausible MVS projection matrices: K @ [R|t] with small rotations."""
+        rng = np.random.RandomState(seed)
+        projs = []
+        for _ in range(2):
+            K = np.array([[250.0, 0, 30.0], [0, 250.0, 25.0], [0, 0, 1]], np.float32)
+            batch = []
+            for b in range(B):
+                angle = rng.uniform(-0.1, 0.1)
+                c, s = np.cos(angle), np.sin(angle)
+                R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+                t = rng.uniform(-10, 10, size=(3, 1)).astype(np.float32)
+                E = np.eye(4, dtype=np.float32)
+                E[:3, :3], E[:3, 3:] = R, t
+                P = E.copy()
+                P[:3, :4] = K @ P[:3, :4]
+                batch.append(P)
+            projs.append(np.stack(batch))
+        return projs  # [src_proj, ref_proj]
+
+    def test_matches_reference_warp(self):
+        from oracle import import_reference_module
+
+        ref_mod = import_reference_module("models.module")
+
+        B, H, W, C, D = 2, 24, 32, 8, 3
+        feat = rand(B, H, W, C, seed=7)
+        src_proj, ref_proj = self._random_projs(B, seed=8)
+        depths = np.linspace(400, 900, D).astype(np.float32)[None].repeat(B, 0)
+
+        ours = np.asarray(
+            warp_src_feature(
+                jnp.asarray(feat), jnp.asarray(src_proj), jnp.asarray(ref_proj),
+                jnp.asarray(depths),
+            )
+        )  # (B, D, H, W, C)
+
+        from oracle import torch11_grid_sample_semantics
+
+        t_feat = torch.from_numpy(feat).permute(0, 3, 1, 2)
+        with torch11_grid_sample_semantics():
+            for d in range(D):
+                theirs = ref_mod.homo_warping_depthwise(
+                    t_feat, torch.from_numpy(src_proj), torch.from_numpy(ref_proj),
+                    torch.from_numpy(depths[:, d]),
+                ).permute(0, 2, 3, 1).numpy()
+                np.testing.assert_allclose(ours[:, d], theirs, atol=2e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference tree absent")
+class TestDeformSampling:
+    def test_matches_reference_deform_conv(self):
+        from oracle import import_reference_module
+
+        ref_mod = import_reference_module("models.module")
+        torch.manual_seed(0)
+        B, H, W, C, O = 2, 11, 13, 6, 4
+        layer = ref_mod.DeformConv2d(C, O, kernel_size=3, padding=1, stride=1, bias=True)
+        # Non-zero offsets/modulation to exercise the fractional path.
+        with torch.no_grad():
+            layer.p_conv.weight.normal_(0, 0.05)
+            layer.m_conv.weight.normal_(0, 0.05)
+
+        x = rand(B, H, W, C, seed=11)
+        t_x = torch.from_numpy(x).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            theirs = layer(t_x).permute(0, 2, 3, 1).numpy()
+            offset = layer.p_conv(t_x).permute(0, 2, 3, 1).numpy()
+            modulation = torch.sigmoid(layer.m_conv(t_x)).permute(0, 2, 3, 1).numpy()
+
+        samples = deform_sample(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(modulation)
+        )
+        kernel = layer.conv.weight.detach().numpy().transpose(2, 3, 1, 0)  # OIHW->HWIO
+        bias = layer.conv.bias.detach().numpy()
+        ours = np.asarray(deform_conv_apply(samples, jnp.asarray(kernel), jnp.asarray(bias)))
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+    def test_zero_offset_half_modulation_is_scaled_conv(self):
+        """With zero offsets and m=0.5 (the reference's init state) the op is
+        an ordinary 3x3 conv scaled by 0.5."""
+        B, H, W, C, O = 1, 8, 9, 4, 5
+        x = rand(B, H, W, C, seed=12)
+        offset = np.zeros((B, H, W, 18), np.float32)
+        modulation = np.full((B, H, W, 9), 0.5, np.float32)
+        kernel = rand(3, 3, C, O, seed=13)
+
+        samples = deform_sample(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(modulation))
+        ours = np.asarray(deform_conv_apply(samples, jnp.asarray(kernel)))
+
+        t = F.conv2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(kernel.transpose(3, 2, 0, 1)).contiguous(),
+            padding=1,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, 0.5 * t, atol=1e-4)

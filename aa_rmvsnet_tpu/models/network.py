@@ -1,0 +1,269 @@
+"""The core MVS network: feature extraction + plane-sweep reweighted variance
+cost volume + recurrent ConvLSTM regularization + depth regression.
+
+Capability-parity with the reference ``EMVSNet`` core (reference:
+models/drmvsnet.py:234-345; 90 tensors / 187,203 params under the
+``feature`` / ``omega`` / ``cost_regularization`` prefixes), re-architected
+for TPU:
+
+- **Views are batched, not looped**: all V views go through FeatNet as one
+  NHWC batch; all (src-view, depth-in-block) warps/omega applications run
+  as one big conv batch (MXU-friendly), with a single sum over the view
+  axis (a ``psum`` when views are sharded).
+- **The depth sweep is a ``lax.scan`` over depth blocks**: cost-volume
+  construction inside a block is fully parallel; only the ConvLSTM carry is
+  sequential.  Inference keeps O(block) activation memory via an online
+  winner-take-all / online-logsumexp carry (the reference's running-argmax
+  trick, drmvsnet.py:300-339, done stably).
+- **Training** rematerializes each depth block (``jax.checkpoint``) so BPTT
+  over D steps needs O(block + D/block) memory instead of O(D).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .feature import FeatNet
+from .aggregation import InterViewAA
+from .regularizer import UNetConvLSTM, init_states
+from ..ops.grid_sample import bilinear_sample
+from ..ops.homography import homography_terms, plane_sweep_coords
+
+
+class AARMVSNetCore(nn.Module):
+    """Parameter container for the 187k-param core network.
+
+    Exposes the three sub-networks as methods so the sweep driver can apply
+    them independently inside ``lax.scan`` bodies.
+    """
+
+    def setup(self):
+        self.feature = FeatNet()
+        self.omega = InterViewAA()
+        self.cost_regularization = UNetConvLSTM()
+
+    def features(self, imgs):
+        return self.feature(imgs)
+
+    def omega_weights(self, residual):
+        return self.omega(residual)
+
+    def regularize(self, cost_slice, states):
+        return self.cost_regularization(cost_slice, states)
+
+    def __call__(self, imgs, states):
+        """Init-only path touching every submodule once."""
+        f = self.feature(imgs)
+        w = self.omega(f)
+        c, s = self.cost_regularization(f, states)
+        return f, w, c, s
+
+
+def init_params(rng, height: int = 32, width: int = 32):
+    """Initialize a full parameter tree at any (divisible-by-4) size; the
+    network is fully convolutional so the size only affects init shapes."""
+    model = AARMVSNetCore()
+    imgs = jnp.zeros((1, height, width, 3))
+    states = init_states(1, height, width)
+    return model.init(rng, imgs, states)
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    """Depth-sweep execution knobs.
+
+    depth_block: hypotheses per scan step (cost build is parallel inside a
+      block).  Must divide D; ``pick_depth_block`` helps choose.
+    remat: rematerialize each block in the backward pass (training).
+    collect_volume: also return the full (B, D, H, W) regularized cost
+      volume (needed for the training softmax / evidential head).
+    feature_dtype: dtype for features and cost math (bfloat16 halves HBM
+      traffic at matched quality; fp32 for strict parity).
+    """
+
+    depth_block: int = 16
+    remat: bool = False
+    collect_volume: bool = True
+    feature_dtype: Any = jnp.float32
+
+
+def pick_depth_block(num_depth: int, target: int) -> int:
+    """Largest divisor of ``num_depth`` that is <= ``target``."""
+    for block in range(min(target, num_depth), 0, -1):
+        if num_depth % block == 0:
+            return block
+    return 1
+
+
+def extract_features(params, imgs: jnp.ndarray) -> jnp.ndarray:
+    """Run FeatNet on every view as one batch.
+
+    Args:
+      imgs: ``(B, V, H, W, 3)`` standardized images.
+
+    Returns:
+      ``(V, B, H, W, 32)`` features (view-major for the sweep).
+    """
+    B, V, H, W, C = imgs.shape
+    flat = imgs.reshape(B * V, H, W, C)
+    feats = AARMVSNetCore().apply(params, flat, method=AARMVSNetCore.features)
+    return feats.reshape(B, V, H, W, -1).transpose(1, 0, 2, 3, 4)
+
+
+def _build_cost_block(
+    params,
+    ref_feat: jnp.ndarray,
+    src_feats: jnp.ndarray,
+    rot_grids: jnp.ndarray,
+    transes: jnp.ndarray,
+    depth_block: jnp.ndarray,
+) -> jnp.ndarray:
+    """Warp + squared residual + omega reweight + view mean for one block.
+
+    Args:
+      ref_feat: ``(B, H, W, C)``.
+      src_feats: ``(S, B, H, W, C)``.
+      rot_grids: ``(S, B, 3, H*W)``; transes: ``(S, B, 3, 1)``.
+      depth_block: ``(B, Db)``.
+
+    Returns:
+      ``(Db, B, H, W, C)`` negated variance cost slices (regularizer input).
+    """
+    S, B, H, W, C = src_feats.shape
+    Db = depth_block.shape[1]
+
+    def warp_one_view(feat, rot_grid, trans):
+        coords = plane_sweep_coords(rot_grid, trans, depth_block, H, W)
+        out = bilinear_sample(feat, coords.reshape(B, -1, 2))
+        return out.reshape(B, Db, H, W, C)
+
+    warped = jax.vmap(warp_one_view)(src_feats, rot_grids, transes)  # (S,B,Db,H,W,C)
+    residual_sq = (warped - ref_feat[None, :, None]) ** 2
+
+    flat = residual_sq.reshape(S * B * Db, H, W, C)
+    weights = AARMVSNetCore().apply(params, flat, method=AARMVSNetCore.omega_weights)
+    weights = weights.reshape(S, B, Db, H, W, 1)
+
+    variance = jnp.sum((weights + 1.0) * residual_sq, axis=0) / S  # (B,Db,H,W,C)
+    return -variance.transpose(1, 0, 2, 3, 4)
+
+
+def sweep(
+    params,
+    features: jnp.ndarray,
+    proj_matrices: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    config: SweepConfig = SweepConfig(),
+):
+    """Run the full plane-sweep + recurrent regularization.
+
+    Args:
+      params: parameter tree from :func:`init_params` / the converter.
+      features: ``(V, B, H, W, C)`` per-view features (view 0 = reference).
+      proj_matrices: ``(B, V, 4, 4)``.
+      depth_values: ``(B, D)`` hypothesis depths in sweep order.
+
+    Returns dict with:
+      ``depth``: ``(B, H, W)`` winner-take-all depth.
+      ``photometric_confidence``: ``(B, H, W)`` softmax probability of the
+        winning hypothesis.
+      ``cost_volume``: ``(B, D, H, W)`` regularized cost volume (only if
+        ``config.collect_volume``); ``softmax(cost_volume, axis=1)`` is the
+        reference's probability volume.
+    """
+    V, B, H, W, C = features.shape
+    D = depth_values.shape[1]
+    block = pick_depth_block(D, config.depth_block)
+    num_blocks = D // block
+
+    dtype = config.feature_dtype
+    features = features.astype(dtype)
+    ref_feat, src_feats = features[0], features[1:]
+
+    ref_proj = proj_matrices[:, 0]
+    src_projs = proj_matrices[:, 1:].transpose(1, 0, 2, 3)  # (S, B, 4, 4)
+    rot_grids, transes = jax.vmap(
+        lambda sp: homography_terms(sp, ref_proj, H, W)
+    )(src_projs)
+
+    # (num_blocks, B, block) sweep-ordered depth blocks.
+    depth_blocks = (
+        depth_values.T.reshape(num_blocks, block, B).transpose(0, 2, 1)
+    )
+
+    def regularize_block(states, cost_block):
+        def body(states, slice_):
+            cost, states = AARMVSNetCore().apply(
+                params, slice_, states, method=AARMVSNetCore.regularize
+            )
+            return states, cost[..., 0]  # (B, H, W)
+
+        return jax.lax.scan(body, states, cost_block)
+
+    def block_step(carry, depth_block_values):
+        states, depth_img, max_cost, lse = carry
+        cost_block = _build_cost_block(
+            params, ref_feat, src_feats, rot_grids, transes, depth_block_values
+        )
+        states, costs = regularize_block(states, cost_block)  # costs (block,B,H,W)
+        costs = costs.astype(jnp.float32)
+
+        # Online WTA + online logsumexp (strict > keeps the first maximum,
+        # matching the reference's running argmax, drmvsnet.py:327-333).
+        block_best = jnp.argmax(costs, axis=0)  # (B, H, W), first max in block
+        block_max = jnp.max(costs, axis=0)
+        block_depth = jnp.take_along_axis(
+            jnp.broadcast_to(depth_block_values.T[:, :, None, None], costs.shape),
+            block_best[None], axis=0,
+        )[0]
+        take_new = block_max > max_cost
+        depth_img = jnp.where(take_new, block_depth, depth_img)
+        max_cost = jnp.maximum(max_cost, block_max)
+        lse = jnp.logaddexp(lse, jax.nn.logsumexp(costs, axis=0))
+
+        ys = costs if config.collect_volume else jnp.zeros((), jnp.float32)
+        return (states, depth_img, max_cost, lse), ys
+
+    if config.remat:
+        block_step = jax.checkpoint(block_step)
+
+    init_carry = (
+        init_states(B, H, W, dtype=dtype),
+        jnp.zeros((B, H, W), jnp.float32),
+        jnp.full((B, H, W), -jnp.inf, jnp.float32),
+        jnp.full((B, H, W), -jnp.inf, jnp.float32),
+    )
+    (states, depth_img, max_cost, lse), ys = jax.lax.scan(
+        block_step, init_carry, depth_blocks
+    )
+
+    out = {
+        "depth": depth_img,
+        "photometric_confidence": jnp.exp(max_cost - lse),
+    }
+    if config.collect_volume:
+        # ys: (num_blocks, block, B, H, W) -> (B, D, H, W)
+        out["cost_volume"] = ys.reshape(D, B, H, W).transpose(1, 0, 2, 3)
+    return out
+
+
+def forward(
+    params,
+    imgs: jnp.ndarray,
+    proj_matrices: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    config: SweepConfig = SweepConfig(),
+):
+    """Full forward: features + sweep.  ``imgs``: ``(B, V, H, W, 3)``."""
+    features = extract_features(params, imgs)
+    return sweep(params, features, proj_matrices, depth_values, config)
+
+
+def probability_volume(cost_volume: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over the depth axis (reference drmvsnet.py:291)."""
+    return jax.nn.softmax(cost_volume, axis=1)

@@ -1,0 +1,268 @@
+"""Parity tests: flax blocks vs torch, and the full core network vs the
+reference implementation loaded with the shipped 187k-param checkpoint."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn_t
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from aa_rmvsnet_tpu.models import (
+    ConvGNReLU,
+    DeconvGNReLU,
+    ConvLSTMCell,
+    ResnetBlockGN,
+    SweepConfig,
+    forward,
+    init_params,
+    load_torch_checkpoint,
+    count_params,
+    probability_volume,
+)
+from aa_rmvsnet_tpu.models.convert import _conv, _deconv
+
+from conftest import reference_available, REFERENCE_ROOT
+
+CKPT = os.path.join(REFERENCE_ROOT, "checkpoints/model_dtu_v2.ckpt")
+
+
+def rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+class TestBlocks:
+    def test_convgnrelu_matches_torch(self):
+        torch.manual_seed(0)
+        C_in, C_out = 16, 32
+        conv = nn_t.Conv2d(C_in, C_out, 3, stride=2, padding=1)
+        gn = nn_t.GroupNorm(C_out // 8, C_out)
+        with torch.no_grad():
+            gn.weight.normal_(1, 0.2)
+            gn.bias.normal_(0, 0.2)
+
+        x = rand(2, 12, 16, C_in, seed=1)
+        with torch.no_grad():
+            ref = F.relu(gn(conv(torch.from_numpy(x).permute(0, 3, 1, 2))))
+        ref = ref.permute(0, 2, 3, 1).numpy()
+
+        params = {"params": {
+            "conv": {"kernel": _conv(conv.weight.detach().numpy()),
+                     "bias": conv.bias.detach().numpy()},
+            "gn": {"scale": gn.weight.detach().numpy(),
+                   "bias": gn.bias.detach().numpy()},
+        }}
+        ours = np.asarray(ConvGNReLU(C_out, stride=2).apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_deconv_matches_torch(self):
+        torch.manual_seed(1)
+        C = 16
+        deconv = nn_t.ConvTranspose2d(C, C, 3, stride=2, padding=1, output_padding=1)
+        gn = nn_t.GroupNorm(C // 8, C)
+        with torch.no_grad():
+            gn.weight.normal_(1, 0.2)
+
+        x = rand(2, 7, 9, C, seed=2)
+        with torch.no_grad():
+            ref = F.relu(gn(deconv(torch.from_numpy(x).permute(0, 3, 1, 2))))
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        assert ref.shape[1:3] == (14, 18)
+
+        params = {"params": {
+            "kernel": _deconv(deconv.weight.detach().numpy()),
+            "bias": deconv.bias.detach().numpy(),
+            "gn": {"scale": gn.weight.detach().numpy(),
+                   "bias": gn.bias.detach().numpy()},
+        }}
+        ours = np.asarray(DeconvGNReLU(C).apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_resnet_block_matches_torch(self):
+        torch.manual_seed(2)
+        C = 4
+        conv_a = nn_t.Conv2d(C, C, 1)
+        gn_a = nn_t.GroupNorm(1, C)
+        conv_b = nn_t.Conv2d(C, C, 1)
+        gn_b = nn_t.GroupNorm(1, C)
+        x = rand(3, 6, 5, C, seed=3)
+        with torch.no_grad():
+            t = torch.from_numpy(x).permute(0, 3, 1, 2)
+            ref = F.relu(gn_b(conv_b(F.relu(gn_a(conv_a(t))))) + t)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+
+        params = {"params": {
+            "stem0": {"conv": {"kernel": _conv(conv_a.weight.detach().numpy()),
+                               "bias": conv_a.bias.detach().numpy()},
+                      "gn": {"scale": gn_a.weight.detach().numpy(),
+                             "bias": gn_a.bias.detach().numpy()}},
+            "stem1": {"kernel": _conv(conv_b.weight.detach().numpy()),
+                      "bias": conv_b.bias.detach().numpy()},
+            "gn": {"scale": gn_b.weight.detach().numpy(),
+                   "bias": gn_b.bias.detach().numpy()},
+        }}
+        ours = np.asarray(ResnetBlockGN(C, kernel=1).apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    @pytest.mark.skipif(not reference_available(), reason="reference tree absent")
+    def test_convlstm_cell_matches_reference(self):
+        from oracle import import_reference_module, patch_cuda_to_cpu
+
+        ref_mod = import_reference_module("models.module")
+        torch.manual_seed(3)
+        with patch_cuda_to_cpu():
+            cell = ref_mod.ConvLSTMCell((8, 8), input_dim=32, hidden_dim=16,
+                                        kernel_size=(3, 3), bias=True)
+            x = rand(2, 8, 8, 32, seed=4)
+            h = rand(2, 8, 8, 16, seed=5)
+            c = rand(2, 8, 8, 16, seed=6)
+            with torch.no_grad():
+                h_t, c_t = cell(
+                    torch.from_numpy(x).permute(0, 3, 1, 2),
+                    (torch.from_numpy(h).permute(0, 3, 1, 2),
+                     torch.from_numpy(c).permute(0, 3, 1, 2)),
+                )
+
+        params = {"params": {"conv": {
+            "kernel": _conv(cell.conv.weight.detach().numpy()),
+            "bias": cell.conv.bias.detach().numpy(),
+        }}}
+        h_j, c_j = ConvLSTMCell(16).apply(
+            params, jnp.asarray(x), (jnp.asarray(h), jnp.asarray(c))
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_j), h_t.permute(0, 2, 3, 1).numpy(), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_j), c_t.permute(0, 2, 3, 1).numpy(), atol=1e-5
+        )
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="shipped checkpoint absent")
+class TestCheckpointConversion:
+    def test_loads_and_counts(self):
+        params = load_torch_checkpoint(CKPT)
+        assert count_params(params) == 187_203
+
+    def test_shapes_match_fresh_init(self):
+        params = load_torch_checkpoint(CKPT)
+        fresh = init_params(jax.random.PRNGKey(0))
+        conv_shapes = jax.tree.map(lambda x: x.shape, params)
+        fresh_shapes = jax.tree.map(lambda x: x.shape, fresh)
+        assert conv_shapes == fresh_shapes
+
+
+def _random_scene(B=1, V=3, H=32, W=32, D=32, seed=0):
+    # D=32 so the oracle's evidential head (hard-coded maxdisp=32) can run;
+    # we only compare outputs produced before that head.
+    """Random multi-view inputs with plausible geometry."""
+    rng = np.random.RandomState(seed)
+    imgs = rng.randn(B, V, H, W, 3).astype(np.float32)
+    projs = []
+    K = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], np.float32)
+    for v in range(V):
+        angle = 0.0 if v == 0 else rng.uniform(-0.05, 0.05)
+        c, s = np.cos(angle), np.sin(angle)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        t = np.array([0.0 if v == 0 else rng.uniform(-5, 5), 0, 0], np.float32)
+        E = np.eye(4, dtype=np.float32)
+        E[:3, :3], E[:3, 3] = R, t
+        P = E.copy()
+        P[:3, :4] = K @ P[:3, :4]
+        projs.append(P)
+    proj = np.stack(projs)[None].repeat(B, 0)
+    depths = np.linspace(400, 600, D).astype(np.float32)[None].repeat(B, 0)
+    return imgs, proj, depths
+
+
+@pytest.mark.skipif(
+    not (reference_available() and os.path.exists(CKPT)),
+    reason="reference tree / checkpoint absent",
+)
+class TestFullNetworkParity:
+    """End-to-end parity against the reference network with real weights."""
+
+    @pytest.fixture(scope="class")
+    def oracle_model(self):
+        from oracle import import_reference_module, patch_cuda_to_cpu
+
+        drmvsnet = import_reference_module("models.drmvsnet")
+        with patch_cuda_to_cpu():
+            model = drmvsnet.EMVSNet(
+                disparity_level=32, image_scale=1.0, max_h=32, max_w=32,
+                return_depth=False,
+            )
+        state = torch.load(CKPT, map_location="cpu", weights_only=True)["model"]
+        missing, unexpected = model.load_state_dict(state, strict=False)
+        assert not unexpected
+        assert all(k.startswith("evidential.") for k in missing)
+        model.eval()
+        return model
+
+    @pytest.fixture(scope="class")
+    def params(self):
+        return load_torch_checkpoint(CKPT)
+
+    def test_train_branch_probability_volume(self, oracle_model, params):
+        from oracle import patch_cuda_to_cpu, torch11_grid_sample_semantics
+
+        imgs, proj, depths = _random_scene()
+        with patch_cuda_to_cpu(), torch11_grid_sample_semantics(), torch.no_grad():
+            ref_prob, _, _ = oracle_model(
+                torch.from_numpy(imgs).permute(0, 1, 4, 2, 3),
+                torch.from_numpy(proj),
+                torch.from_numpy(depths),
+            )
+        ref_prob = ref_prob.numpy()
+
+        out = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                      jnp.asarray(depths), SweepConfig(depth_block=4))
+        ours = np.asarray(probability_volume(out["cost_volume"]))
+        np.testing.assert_allclose(ours, ref_prob, atol=2e-4)
+
+    def test_eval_branch_depth_and_confidence(self, oracle_model, params):
+        from oracle import patch_cuda_to_cpu, torch11_grid_sample_semantics
+
+        oracle_model.return_depth = True
+        imgs, proj, depths = _random_scene(seed=1)
+        try:
+            with patch_cuda_to_cpu(), torch11_grid_sample_semantics(), torch.no_grad():
+                ref_out = oracle_model(
+                    torch.from_numpy(imgs).permute(0, 1, 4, 2, 3),
+                    torch.from_numpy(proj),
+                    torch.from_numpy(depths),
+                )
+        finally:
+            oracle_model.return_depth = False
+
+        out = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                      jnp.asarray(depths), SweepConfig(depth_block=4))
+        np.testing.assert_allclose(
+            np.asarray(out["depth"]), ref_out["depth"].numpy(), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["photometric_confidence"]),
+            ref_out["photometric_confidence"].numpy(),
+            atol=1e-4,
+        )
+
+    def test_depth_block_size_invariance(self, params):
+        """The blocked sweep must be exactly invariant to block size."""
+        imgs, proj, depths = _random_scene(seed=2)
+        outs = [
+            forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                    jnp.asarray(depths), SweepConfig(depth_block=b))
+            for b in (1, 4, 8)
+        ]
+        for other in outs[1:]:
+            np.testing.assert_allclose(
+                np.asarray(outs[0]["depth"]), np.asarray(other["depth"]), atol=0
+            )
+            np.testing.assert_allclose(
+                np.asarray(outs[0]["cost_volume"]),
+                np.asarray(other["cost_volume"]), atol=1e-5,
+            )

@@ -1,0 +1,67 @@
+"""Async host-side sample prefetching and batching.
+
+Replaces the reference's ``DataLoader(num_workers=12, prefetch_factor=5)``
+(reference: train.py:115-117) with a thread-pool prefetcher: image decode
+(cv2) and PFM reads release the GIL, so threads overlap host IO with TPU
+compute without process-spawn overhead.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+
+def prefetch_samples(
+    dataset,
+    indices: Iterable[int] | None = None,
+    num_workers: int = 8,
+    lookahead: int = 16,
+) -> Iterator[dict]:
+    """Yield ``dataset[i]`` in order with a sliding prefetch window."""
+    if indices is None:
+        indices = range(len(dataset))
+    indices = list(indices)
+    if num_workers <= 0:
+        for i in indices:
+            yield dataset[i]
+        return
+
+    with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending = []
+        it = iter(indices)
+        for _ in range(min(lookahead, len(indices))):
+            pending.append(pool.submit(dataset.__getitem__, next(it)))
+        while pending:
+            out = pending.pop(0).result()
+            try:
+                pending.append(pool.submit(dataset.__getitem__, next(it)))
+            except StopIteration:
+                pass
+            yield out
+
+
+def batch_samples(samples: Sequence[dict]) -> dict:
+    """Stack a list of sample dicts into a batch (arrays gain a leading axis;
+    non-array fields become lists)."""
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+def batched(iterator: Iterator[dict], batch_size: int, drop_last: bool = False) -> Iterator[dict]:
+    buf = []
+    for sample in iterator:
+        buf.append(sample)
+        if len(buf) == batch_size:
+            yield batch_samples(buf)
+            buf = []
+    if buf and not drop_last:
+        yield batch_samples(buf)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.deform import deform_sample, deform_conv_apply
+from ..ops.deform import deform_conv
 
 
 def group_count(channels: int, group_channel: int = 8) -> int:
@@ -156,8 +156,7 @@ class DeformConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, in_c, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        samples = deform_sample(x, offset, modulation)
-        return deform_conv_apply(samples, kernel, bias)
+        return deform_conv(x, offset, modulation, kernel, bias)
 
 
 class DeformConvGNReLU(nn.Module):

@@ -142,6 +142,113 @@ def load_torch_checkpoint(path) -> dict:
     return convert_state_dict({k: v.numpy() for k, v in state.items()})
 
 
+# ---------------------------------------------------------------------------
+# Evidential head conversion (reference evidential/models.py:183-459)
+# ---------------------------------------------------------------------------
+
+
+def _conv3d(w):  # OIDHW -> DHWIO
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
+def _deconv3d(w):  # (I, O, kd, kh, kw) -> equivalent forward-conv DHWIO
+    return np.ascontiguousarray(np.transpose(w[:, :, ::-1, ::-1, ::-1], (2, 3, 4, 0, 1)))
+
+
+def _evidential_rules() -> list[tuple[str, str, str]]:
+    """(torch prefix, flax path, kind) for the evidential head.
+
+    torch layout notes: ``convbn_3d`` is Sequential(conv, bn) so a block at
+    prefix ``p`` has keys ``p.0.weight`` (conv) and ``p.1.*`` (bn);
+    mish-wrapped stacks add another ``.0``; transposed-conv+BN pairs are
+    ``p.0`` / ``p.1``.
+    """
+    rules: list[tuple[str, str, str]] = []
+
+    def convbn(tp, fp):
+        rules.append((tp + ".0", fp + "/conv", "conv3d"))
+        rules.append((tp + ".1", fp + "/bn", "bn"))
+
+    def deconvbn(tp, fp):
+        rules.append((tp + ".0", fp, "deconv3d"))
+        rules.append((tp + ".1", fp + "/bn", "bn"))
+
+    for name, fp0, fp1 in (
+        ("dres0", "dres0_0", "dres0_1"),
+        ("dres1", "dres1_0", "dres1_1"),
+        ("conv_vol2", "conv_vol2_0", "conv_vol2_1"),
+        ("conv_vol3", "conv_vol3_0", "conv_vol3_1"),
+    ):
+        convbn(f"{name}.0", fp0)
+        convbn(f"{name}.2", fp1)
+
+    # HourGlassUp ("combine1")
+    rules.append(("combine1.conv1", "combine1/conv1/conv", "conv3d"))
+    convbn("combine1.conv2.0", "combine1/conv2")
+    rules.append(("combine1.conv3", "combine1/conv3/conv", "conv3d"))
+    convbn("combine1.conv4.0", "combine1/conv4")
+    deconvbn("combine1.conv8", "combine1/conv8")
+    deconvbn("combine1.conv9", "combine1/conv9")
+    convbn("combine1.combine1.0", "combine1/combine1")
+    convbn("combine1.combine2.0", "combine1/combine2")
+    for r in ("redir1", "redir2", "redir3"):
+        convbn(f"combine1.{r}", f"combine1/{r}")
+
+    # HourGlass x2 ("dres2", "dres3")
+    for hg in ("dres2", "dres3"):
+        for c in ("conv1", "conv2", "conv3", "conv4"):
+            convbn(f"{hg}.{c}.0", f"{hg}/{c}")
+        deconvbn(f"{hg}.conv5", f"{hg}/conv5")
+        deconvbn(f"{hg}.conv6", f"{hg}/conv6")
+        convbn(f"{hg}.redir1", f"{hg}/redir1")
+        convbn(f"{hg}.redir2", f"{hg}/redir2")
+
+    for k in range(3):
+        convbn(f"classif{k}.0", f"classif{k}_0")
+        rules.append((f"classif{k}.2", f"classif{k}_1", "conv3d"))
+    return rules
+
+
+def convert_evidential_state_dict(state: Mapping[str, "np.ndarray"]) -> dict:
+    """Convert a torch state_dict of the reference ``EvidentialModule`` (keys
+    optionally under an ``evidential.`` / ``module.`` prefix) into flax
+    variables ``{'params': ..., 'batch_stats': ...}``."""
+    arrays = {}
+    for k, v in state.items():
+        k = k[7:] if k.startswith("module.") else k
+        if k.startswith("evidential."):
+            k = k[len("evidential."):]
+        arrays[k] = np.asarray(v, dtype=np.float32)
+
+    params: dict = {}
+    stats: dict = {}
+    consumed = set()
+    for torch_prefix, flax_path, kind in _evidential_rules():
+        if kind == "conv3d":
+            w_key = torch_prefix + ".weight"
+            _set(params, flax_path, "kernel", _conv3d(arrays[w_key]))
+            consumed.add(w_key)
+        elif kind == "deconv3d":
+            w_key = torch_prefix + ".weight"
+            _set(params, flax_path, "kernel", _deconv3d(arrays[w_key]))
+            consumed.add(w_key)
+        elif kind == "bn":
+            _set(params, flax_path, "scale", arrays[torch_prefix + ".weight"])
+            _set(params, flax_path, "bias", arrays[torch_prefix + ".bias"])
+            _set(stats, flax_path, "mean", arrays[torch_prefix + ".running_mean"])
+            _set(stats, flax_path, "var", arrays[torch_prefix + ".running_var"])
+            consumed |= {
+                torch_prefix + s
+                for s in (".weight", ".bias", ".running_mean", ".running_var")
+            }
+    leftovers = [
+        k for k in arrays if k not in consumed and "num_batches_tracked" not in k
+    ]
+    if leftovers:
+        raise ValueError(f"unmapped evidential tensors: {sorted(leftovers)[:8]} ...")
+    return {"params": params, "batch_stats": stats}
+
+
 def count_params(params) -> int:
     import jax
 

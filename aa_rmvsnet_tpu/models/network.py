@@ -31,8 +31,8 @@ from flax import linen as nn
 from .feature import FeatNet
 from .aggregation import InterViewAA
 from .regularizer import UNetConvLSTM, init_states
-from ..ops.grid_sample import bilinear_sample
-from ..ops.homography import homography_terms, plane_sweep_coords
+from ..ops.grid_sample import bilinear_sample_xy
+from ..ops.homography import homography_terms, plane_sweep_xy
 
 
 class AARMVSNetCore(nn.Module):
@@ -100,16 +100,23 @@ def pick_depth_block(num_depth: int, target: int) -> int:
     return 1
 
 
-def extract_features(params, imgs: jnp.ndarray) -> jnp.ndarray:
+def extract_features(params, imgs: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Run FeatNet on every view as one batch.
 
     Args:
       imgs: ``(B, V, H, W, 3)`` standardized images.
+      dtype: compute dtype (bfloat16 halves HBM traffic in the deformable
+        gathers; fp32 for strict parity).
 
     Returns:
       ``(V, B, H, W, 32)`` features (view-major for the sweep).
     """
     B, V, H, W, C = imgs.shape
+    if dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
+        )
+        imgs = imgs.astype(dtype)
     flat = imgs.reshape(B * V, H, W, C)
     feats = AARMVSNetCore().apply(params, flat, method=AARMVSNetCore.features)
     return feats.reshape(B, V, H, W, -1).transpose(1, 0, 2, 3, 4)
@@ -138,16 +145,23 @@ def _build_cost_block(
     Db = depth_block.shape[1]
 
     def warp_one_view(feat, rot_grid, trans):
-        coords = plane_sweep_coords(rot_grid, trans, depth_block, H, W)
-        out = bilinear_sample(feat, coords.reshape(B, -1, 2))
-        return out.reshape(B, Db, H, W, C)
+        x, y = plane_sweep_xy(rot_grid, trans, depth_block)  # (B, Db, H*W)
+        out = bilinear_sample_xy(feat, x.reshape(B, -1), y.reshape(B, -1))
+        # Coordinates/weights stay fp32; cast back so the low-precision
+        # sweep keeps a uniform compute dtype downstream.
+        return out.reshape(B, Db, H, W, C).astype(feat.dtype)
 
     warped = jax.vmap(warp_one_view)(src_feats, rot_grids, transes)  # (S,B,Db,H,W,C)
     residual_sq = (warped - ref_feat[None, :, None]) ** 2
 
-    flat = residual_sq.reshape(S * B * Db, H, W, C)
+    # Batch omega over (B, S, Db) with the data-sharded B axis OUTERMOST in
+    # the merged conv batch: merging a sharded axis inside a merged
+    # dimension ((S*B*Db)) makes GSPMD replicate the conv and psum
+    # duplicate gradient contributions (observed: omega grads scaled by the
+    # data-axis size); B-major merge keeps the merged axis cleanly sharded.
+    flat = residual_sq.transpose(1, 0, 2, 3, 4, 5).reshape(B * S * Db, H, W, C)
     weights = AARMVSNetCore().apply(params, flat, method=AARMVSNetCore.omega_weights)
-    weights = weights.reshape(S, B, Db, H, W, 1)
+    weights = weights.reshape(B, S, Db, H, W, 1).transpose(1, 0, 2, 3, 4, 5)
 
     variance = jnp.sum((weights + 1.0) * residual_sq, axis=0) / S  # (B,Db,H,W,C)
     return -variance.transpose(1, 0, 2, 3, 4)
@@ -183,6 +197,14 @@ def sweep(
 
     dtype = config.feature_dtype
     features = features.astype(dtype)
+    if dtype != jnp.float32:
+        # Low-precision sweep: cast parameters once so convs / LSTM gates /
+        # omega all stay in the compute dtype (halves HBM traffic; WTA and
+        # softmax accumulators below remain fp32).  fp32 master params are
+        # untouched outside.
+        params = jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
+        )
     ref_feat, src_feats = features[0], features[1:]
 
     ref_proj = proj_matrices[:, 0]
@@ -260,7 +282,7 @@ def forward(
     config: SweepConfig = SweepConfig(),
 ):
     """Full forward: features + sweep.  ``imgs``: ``(B, V, H, W, 3)``."""
-    features = extract_features(params, imgs)
+    features = extract_features(params, imgs, dtype=config.feature_dtype)
     return sweep(params, features, proj_matrices, depth_values, config)
 
 

@@ -4,7 +4,13 @@ speed-of-light Pallas kernels live in :mod:`aa_rmvsnet_tpu.ops.pallas` and
 are numerically validated against these.
 """
 
-from .grid_sample import bilinear_sample, bilinear_sample_normalized
-from .homography import homography_terms, plane_sweep_coords, warp_src_feature
+from .grid_sample import bilinear_sample, bilinear_sample_xy, bilinear_sample_normalized
+from .homography import (
+    homography_terms,
+    plane_sweep_coords,
+    plane_sweep_xy,
+    warp_src_feature,
+)
 from .cost_volume import reweighted_variance_slice
+from .deform import deform_conv
 from .resize import resize_bilinear_align_corners, resize_trilinear_align_corners

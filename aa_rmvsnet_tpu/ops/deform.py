@@ -24,33 +24,23 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def deform_sample(x: jnp.ndarray, offset: jnp.ndarray, modulation: jnp.ndarray) -> jnp.ndarray:
-    """Gather modulated bilinear samples for a 3x3 deformable kernel.
+def _tap_geometry(x_pad_shape, offset):
+    """Per-tap sample positions / corners / bilinear weights.
 
-    Args:
-      x: ``(B, H, W, C)`` input features (unpadded).
-      offset: ``(B, H, W, 18)`` learned offsets; channels ``[:9]`` shift rows,
-        ``[9:]`` shift columns, tap order row-major over {-1,0,1}^2.
-      modulation: ``(B, H, W, 9)`` sigmoid modulation scalars per tap.
-
-    Returns:
-      ``(B, H, W, 9, C)`` modulated samples, tap axis in row-major order.
+    Returns, for each of the 9 taps, the clamped corner coordinates and the
+    reference's bilinear weights (module.py:153-165), all ``(B, H, W, 9)``.
     """
-    B, H, W, C = x.shape
+    _, Hp, Wp, _ = x_pad_shape
+    H, W = Hp - 2, Wp - 2
     K = 9
-    Hp, Wp = H + 2, W + 2
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-
-    # Base grid in padded coordinates plus kernel taps.
     rows = jnp.arange(1, H + 1, dtype=offset.dtype)
     cols = jnp.arange(1, W + 1, dtype=offset.dtype)
-    dr = jnp.repeat(jnp.arange(-1, 2, dtype=offset.dtype), 3)  # (9,) row-major taps
+    dr = jnp.repeat(jnp.arange(-1, 2, dtype=offset.dtype), 3)  # row-major taps
     dc = jnp.tile(jnp.arange(-1, 2, dtype=offset.dtype), 3)
 
-    p_r = rows[None, :, None, None] + dr + offset[..., :K]  # (B, H, W, 9)
+    p_r = rows[None, :, None, None] + dr + offset[..., :K]
     p_c = cols[None, None, :, None] + dc + offset[..., K:]
 
-    # Corners, clamped to padded bounds (reference module.py:153-159).
     r0 = jnp.clip(jnp.floor(p_r), 0, Hp - 1)
     c0 = jnp.clip(jnp.floor(p_c), 0, Wp - 1)
     r1 = jnp.clip(jnp.floor(p_r) + 1, 0, Hp - 1)
@@ -58,17 +48,83 @@ def deform_sample(x: jnp.ndarray, offset: jnp.ndarray, modulation: jnp.ndarray) 
     p_r = jnp.clip(p_r, 0, Hp - 1)
     p_c = jnp.clip(p_c, 0, Wp - 1)
 
-    # Bilinear weights from clamped corners/positions (module.py:162-165).
     g_lt = (1 + (r0 - p_r)) * (1 + (c0 - p_c))
     g_rb = (1 - (r1 - p_r)) * (1 - (c1 - p_c))
     g_lb = (1 + (r0 - p_r)) * (1 - (c1 - p_c))
     g_rt = (1 - (r1 - p_r)) * (1 + (c0 - p_c))
+    return (r0, c0, r1, c1), (g_lt, g_rb, g_lb, g_rt)
 
+
+def deform_conv(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    modulation: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Modulated deformable 3x3 conv: gather + tap contraction, accumulated
+    tap-by-tap.
+
+    Args:
+      x: ``(B, H, W, C)`` input features (unpadded).
+      offset: ``(B, H, W, 18)``; channels ``[:9]`` shift rows, ``[9:]``
+        columns, tap order row-major over {-1,0,1}^2.
+      modulation: ``(B, H, W, 9)`` sigmoid modulation scalars.
+      kernel: ``(3, 3, C, O)`` HWIO conv weights (tap ``n`` = ``(n//3, n%3)``).
+      bias: optional ``(O,)``.
+
+    Returns:
+      ``(B, H, W, O)``.
+
+    Memory note: accumulating per tap keeps peak HBM at O(H*W*C) instead of
+    materializing the ``(B, H, W, 9, C)`` sample tensor, whose 32-channel
+    lanes would be padded 4x by TPU tiling (observed 22.9 GB at 1152x864).
+    """
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    Hp, Wp = H + 2, W + 2
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     flat = x_pad.reshape(B, Hp * Wp, C)
+
+    corners, weights = _tap_geometry(x_pad.shape, offset)
+    r0, c0, r1, c1 = corners
+    g_lt, g_rb, g_lb, g_rt = weights
+    w_kernel = kernel.reshape(9, C, O)
+
+    out = jnp.zeros((B, H, W, O), x.dtype)
+    for n in range(9):
+        def gather(rr, cc, g):
+            idx = (rr[..., n].astype(jnp.int32) * Wp + cc[..., n].astype(jnp.int32))
+            vals = jnp.take_along_axis(flat, idx.reshape(B, -1)[..., None], axis=1)
+            return vals.reshape(B, H, W, C) * g[..., n, None]
+
+        tap = (
+            gather(r0, c0, g_lt)
+            + gather(r1, c1, g_rb)
+            + gather(r0, c1, g_lb)
+            + gather(r1, c0, g_rt)
+        ) * modulation[..., n, None]
+        out = out + tap @ w_kernel[n]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def deform_sample(x: jnp.ndarray, offset: jnp.ndarray, modulation: jnp.ndarray) -> jnp.ndarray:
+    """Reference-shaped sampler: ``(B, H, W, 9, C)`` modulated samples.
+
+    Kept as the slow oracle for tests; production code uses
+    :func:`deform_conv` which never materializes the tap axis.
+    """
+    B, H, W, C = x.shape
+    Hp, Wp = H + 2, W + 2
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    flat = x_pad.reshape(B, Hp * Wp, C)
+    (r0, c0, r1, c1), (g_lt, g_rb, g_lb, g_rt) = _tap_geometry(x_pad.shape, offset)
 
     def gather(rr, cc, g):
         idx = (rr.astype(jnp.int32) * Wp + cc.astype(jnp.int32)).reshape(B, -1)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(B, H, W, K, C)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(B, H, W, 9, C)
         return vals * g[..., None]
 
     samples = (
@@ -83,16 +139,8 @@ def deform_sample(x: jnp.ndarray, offset: jnp.ndarray, modulation: jnp.ndarray) 
 def deform_conv_apply(
     samples: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None
 ) -> jnp.ndarray:
-    """Contract gathered taps with a conv kernel.
-
-    Args:
-      samples: ``(B, H, W, 9, C)`` from :func:`deform_sample`.
-      kernel: ``(3, 3, C, O)`` HWIO conv weights (tap ``n`` = ``(n//3, n%3)``).
-      bias: optional ``(O,)``.
-
-    Returns:
-      ``(B, H, W, O)``.
-    """
+    """Contract gathered taps with a conv kernel (oracle-path companion to
+    :func:`deform_sample`)."""
     B, H, W, K, C = samples.shape
     out = samples.reshape(B, H, W, K * C) @ kernel.reshape(K * C, -1)
     if bias is not None:

@@ -32,12 +32,22 @@ def bilinear_sample(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
     Returns:
       ``(B, ..., C)`` sampled values, zero where all corners are out of bounds.
-    """
-    B, H, W, C = feat.shape
-    out_shape = coords.shape[:-1] + (C,)
 
+    Prefer :func:`bilinear_sample_xy` in performance code: a trailing
+    size-2 coordinate axis is lane-padded 64x by TPU tiling.
+    """
+    B = feat.shape[0]
+    C = feat.shape[-1]
+    out_shape = coords.shape[:-1] + (C,)
     xy = coords.reshape(B, -1, 2)
-    x, y = xy[..., 0], xy[..., 1]
+    out = bilinear_sample_xy(feat, xy[..., 0], xy[..., 1])
+    return out.reshape(out_shape)
+
+
+def bilinear_sample_xy(feat: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``feat`` ``(B, H, W, C)`` at separate coordinate arrays
+    ``x``/``y`` of shape ``(B, N)``.  Returns ``(B, N, C)``."""
+    B, H, W, C = feat.shape
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -54,13 +64,12 @@ def bilinear_sample(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
         return vals * (w * valid)[..., None]
 
-    out = (
+    return (
         corner(x0, y0, (1.0 - fx) * (1.0 - fy))
         + corner(x0 + 1.0, y0, fx * (1.0 - fy))
         + corner(x0, y0 + 1.0, (1.0 - fx) * fy)
         + corner(x0 + 1.0, y0 + 1.0, fx * fy)
     )
-    return out.reshape(out_shape)
 
 
 def bilinear_sample_normalized(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:

@@ -52,6 +52,25 @@ def homography_terms(
     return rot_grid, trans
 
 
+def plane_sweep_xy(
+    rot_grid: jnp.ndarray,
+    trans: jnp.ndarray,
+    depth_values: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Source-view pixel coordinates for a block of depths, as separate
+    ``x`` / ``y`` arrays of shape ``(B, D, H*W)`` (lane-padding-friendly:
+    no trailing size-2 axis).
+
+    Args:
+      rot_grid: ``(B, 3, H*W)`` from :func:`homography_terms`.
+      trans: ``(B, 3, 1)``; depth_values: ``(B, D)``.
+    """
+    proj_xyz = rot_grid[:, None] * depth_values[:, :, None, None] + trans[:, None]
+    z = proj_xyz[:, :, 2]
+    z = jnp.where(z == 0.0, z + 1e-4, z)
+    return proj_xyz[:, :, 0] / z, proj_xyz[:, :, 1] / z
+
+
 def plane_sweep_coords(
     rot_grid: jnp.ndarray,
     trans: jnp.ndarray,
@@ -71,12 +90,7 @@ def plane_sweep_coords(
     """
     B = rot_grid.shape[0]
     D = depth_values.shape[1]
-    # (B, D, 3, H*W) = rot_grid * d + t
-    proj_xyz = rot_grid[:, None] * depth_values[:, :, None, None] + trans[:, None]
-    z = proj_xyz[:, :, 2]
-    z = jnp.where(z == 0.0, z + 1e-4, z)
-    x = proj_xyz[:, :, 0] / z
-    y = proj_xyz[:, :, 1] / z
+    x, y = plane_sweep_xy(rot_grid, trans, depth_values)
     coords = jnp.stack([x, y], axis=-1)  # (B, D, H*W, 2)
     return coords.reshape(B, D, height, width, 2)
 

@@ -1,0 +1,93 @@
+"""Device-mesh construction and sharding rules.
+
+The reference is a single-GPU, single-process program (no torch.distributed
+anywhere — SURVEY §2.2); all parallelism here is new TPU-native scope:
+
+- ``data`` axis: batch data-parallelism (gradient all-reduce inserted by
+  XLA's GSPMD partitioner).
+- ``spatial`` axis: height-wise spatial partitioning of feature maps.
+  GSPMD inserts halo exchanges for the convolutions automatically; the
+  plane-sweep gather induces an all-gather of the (small) source feature
+  maps, which rides ICI.
+
+The depth-hypothesis axis is deliberately *not* sharded by default: the
+ConvLSTM carry makes it sequential (SURVEY §7.3) — depth-block sharding
+would be pipelining, not parallelism; batch/spatial sharding fills chips
+with no pipeline bubbles.
+
+Multi-host: call :func:`initialize_distributed` first (jax.distributed);
+meshes built here span all global devices, with the ``data`` axis laid out
+across hosts (DCN) and ``spatial`` within hosts (ICI).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Initialize jax.distributed for a multi-host slice (no-op if single)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(
+    data: int | None = None,
+    spatial: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ``(data, spatial)`` mesh over the available devices.
+
+    ``data`` defaults to ``num_devices // spatial``.  The data axis varies
+    slowest so it maps across hosts (DCN) while spatial stays within a host
+    (ICI) under the default device enumeration.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None:
+        if n % spatial:
+            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+        data = n // spatial
+    if data * spatial != n:
+        raise ValueError(f"mesh {data}x{spatial} != {n} devices")
+    return Mesh(devices.reshape(data, spatial), axis_names=("data", "spatial"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, spatial_axis: int | None = None) -> NamedSharding:
+    """Shard axis 0 over ``data`` and optionally one axis over ``spatial``."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    if spatial_axis is not None:
+        spec[spatial_axis] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_train_batch(mesh: Mesh, batch: dict) -> dict:
+    """Sharding tree for a training batch.
+
+    imgs ``(B, V, H, W, 3)``: batch over ``data``, H over ``spatial``;
+    proj ``(B, V, 4, 4)`` and depth_values ``(B, D)``: batch over ``data``;
+    depth/mask ``(B, H, W)``: batch over ``data``, H over ``spatial``.
+    """
+    specs = {
+        "imgs": batch_sharding(mesh, 5, spatial_axis=2),
+        "proj_matrices": batch_sharding(mesh, 4),
+        "depth_values": batch_sharding(mesh, 2),
+        "depth": batch_sharding(mesh, 3, spatial_axis=1),
+        "mask": batch_sharding(mesh, 3, spatial_axis=1),
+    }
+    return {
+        k: jax.device_put(v, specs[k]) if k in specs else v for k, v in batch.items()
+    }

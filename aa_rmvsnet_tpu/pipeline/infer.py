@@ -1,0 +1,135 @@
+"""Inference driver: generate per-view depth / confidence maps for a scene
+list and write them in the reference's on-disk layout so the fusion stage
+is drop-in compatible.
+
+Output layout (reference: eval.py:130-147)::
+
+    <out_root>/<scan>/depth_est_0/<ref_view:08d>.pfm
+    <out_root>/<scan>/confidence_0/<ref_view:08d>.pfm
+    [<out_root>/<scan>/{epistemic_0,aleatoric_0}/<ref_view:08d>.pfm]
+
+By default the depth map is the winner-take-all depth from the core
+network — the path that produced the published DTU/TnT numbers
+(reference drmvsnet.py:300-339) — NOT the fork's evidential γ
+(quirk ledger, SURVEY §7.4).  With an evidential head attached,
+``depth_source="evidential"`` reproduces the fork's behavior and the
+uncertainty maps are written alongside.
+
+TPU notes: one jit cache entry per input shape — scenes are processed
+grouped by shape (the eval datasets produce one shape per scene family);
+the sweep runs with ``collect_volume=False`` so HBM stays O(depth_block).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pfm import save_pfm
+from ..models.network import SweepConfig, forward
+from ..data.loader import prefetch_samples
+
+
+@dataclass
+class InferConfig:
+    out_root: str
+    depth_block: int = 8
+    feature_dtype: Any = jnp.bfloat16
+    depth_source: str = "wta"  # "wta" | "evidential"
+    evidential_params: Any = None  # optional evidential head params
+    save_png_previews: bool = False
+    num_workers: int = 8
+
+
+def _jitted_forward(config: InferConfig, with_volume: bool):
+    sweep_config = SweepConfig(
+        depth_block=config.depth_block,
+        collect_volume=with_volume,
+        feature_dtype=config.feature_dtype,
+    )
+
+    @jax.jit
+    def run(params, imgs, proj, depths):
+        return forward(params, imgs, proj, depths, sweep_config)
+
+    return run
+
+
+def save_outputs(out_dir: str, ref_view: int, depth: np.ndarray, confidence: np.ndarray,
+                 uncertainty: dict | None = None, save_png: bool = False):
+    name = f"{ref_view:08d}"
+    os.makedirs(os.path.join(out_dir, "depth_est_0"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "confidence_0"), exist_ok=True)
+    save_pfm(os.path.join(out_dir, "depth_est_0", name + ".pfm"), depth.astype(np.float32))
+    save_pfm(os.path.join(out_dir, "confidence_0", name + ".pfm"), confidence.astype(np.float32))
+    if uncertainty:
+        for key, arr in uncertainty.items():  # e.g. epistemic_0 / aleatoric_0
+            os.makedirs(os.path.join(out_dir, key), exist_ok=True)
+            save_pfm(os.path.join(out_dir, key, name + ".pfm"), arr.astype(np.float32))
+    if save_png:
+        from ..utils.visualize import save_depth_png
+
+        os.makedirs(os.path.join(out_dir, "depth_png_0"), exist_ok=True)
+        save_depth_png(os.path.join(out_dir, "depth_png_0", name + ".png"), depth)
+
+
+def run_inference(
+    params,
+    dataset,
+    config: InferConfig,
+    progress: bool = True,
+) -> dict:
+    """Generate depth maps for every meta in ``dataset``.
+
+    Returns timing stats ``{count, total_s, maps_per_s}``.
+    """
+    need_volume = config.depth_source == "evidential"
+    run = _jitted_forward(config, with_volume=need_volume)
+    evidential_apply = None
+    if need_volume:
+        from ..models.evidential import make_evidential_apply
+
+        evidential_apply = make_evidential_apply(config.evidential_params)
+
+    count = 0
+    total = 0.0
+    for sample in prefetch_samples(dataset, num_workers=config.num_workers):
+        imgs = jnp.asarray(sample["imgs"][None])
+        proj = jnp.asarray(sample["proj_matrices"][None])
+        depths = jnp.asarray(sample["depth_values"][None])
+
+        t0 = time.perf_counter()
+        out = run(params, imgs, proj, depths)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        total += dt
+        count += 1
+
+        depth = np.asarray(out["depth"][0])
+        conf = np.asarray(out["photometric_confidence"][0])
+        uncertainty = None
+        if need_volume:
+            ev = evidential_apply(out["cost_volume"], depths)
+            gamma, nu, alpha, beta = (np.asarray(ev[k][0]) for k in ("gamma", "nu", "alpha", "beta"))
+            uncertainty = {
+                "aleatoric_0": np.sqrt(beta * (nu + 1) / nu / alpha),
+                "epistemic_0": 1.0 / np.sqrt(nu),
+            }
+            if config.depth_source == "evidential":
+                depth = gamma
+
+        out_dir = os.path.join(config.out_root, sample["scan"])
+        save_outputs(out_dir, sample["ref_view"], depth, conf, uncertainty,
+                     config.save_png_previews)
+        if progress:
+            print(f"[{count}/{len(dataset)}] {sample['scan']}/{sample['ref_view']:08d}"
+                  f"  {dt:.3f}s", flush=True)
+
+    return {"count": count, "total_s": total, "maps_per_s": count / max(total, 1e-9)}

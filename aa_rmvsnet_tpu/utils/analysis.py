@@ -1,0 +1,192 @@
+"""Offline uncertainty analytics.
+
+Capability-parity with the reference's analysis suite (reference:
+evidential/statistics.py:21-1566), which consumes training-time tensor
+dumps and evaluates how well predicted uncertainty detects depth error:
+
+- ROC / precision-recall of uncertainty as a detector of pixels whose
+  depth error exceeds a threshold (reference :636-873, 1179-1267),
+- calibration curve (predicted-uncertainty quantiles vs observed error,
+  reference :1054-1119),
+- sparsification / precision-recall sweeps over uncertainty thresholds
+  (reference :1287-1543),
+- error/uncertainty summary statistics and correlation fits (:914-1053).
+
+All functions are pure numpy/sklearn over ``(H, W)`` maps (or stacks) and
+return plain dicts so they can be logged, tested, or plotted.
+``plot_report`` renders the standard figure grid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _flatten_valid(error, uncertainty, mask):
+    m = np.asarray(mask) > 0.5
+    return np.asarray(error)[m].ravel(), np.asarray(uncertainty)[m].ravel()
+
+
+def uncertainty_roc(error, uncertainty, mask, error_threshold: float):
+    """ROC of uncertainty as a detector of |error| > threshold.
+
+    Returns dict with ``auc``, ``fpr``, ``tpr`` (reference statistics.py:636-733).
+    """
+    from sklearn.metrics import roc_curve, roc_auc_score
+
+    err, unc = _flatten_valid(error, uncertainty, mask)
+    labels = (np.abs(err) > error_threshold).astype(np.int32)
+    if labels.min() == labels.max():
+        return {"auc": float("nan"), "fpr": None, "tpr": None}
+    fpr, tpr, _ = roc_curve(labels, unc)
+    return {"auc": float(roc_auc_score(labels, unc)), "fpr": fpr, "tpr": tpr}
+
+
+def uncertainty_precision_recall(error, uncertainty, mask, error_threshold: float):
+    """Average precision + PR curve of uncertainty as an error detector
+    (reference statistics.py:1179-1267)."""
+    from sklearn.metrics import precision_recall_curve, average_precision_score
+
+    err, unc = _flatten_valid(error, uncertainty, mask)
+    labels = (np.abs(err) > error_threshold).astype(np.int32)
+    if labels.min() == labels.max():
+        return {"average_precision": float("nan"), "precision": None, "recall": None}
+    precision, recall, _ = precision_recall_curve(labels, unc)
+    return {
+        "average_precision": float(average_precision_score(labels, unc)),
+        "precision": precision,
+        "recall": recall,
+    }
+
+
+def calibration_curve(error, uncertainty, mask, num_bins: int = 10):
+    """Observed |error| quantile per predicted-uncertainty bin
+    (reference statistics.py:1054-1119).
+
+    Returns ``{bin_uncertainty, bin_abs_error, counts}`` — a well-calibrated
+    predictor has monotonically increasing bin_abs_error.
+    """
+    err, unc = _flatten_valid(error, uncertainty, mask)
+    if err.size == 0:
+        return {"bin_uncertainty": [], "bin_abs_error": [], "counts": []}
+    edges = np.quantile(unc, np.linspace(0, 1, num_bins + 1))
+    edges[-1] += 1e-9
+    idx = np.clip(np.searchsorted(edges, unc, side="right") - 1, 0, num_bins - 1)
+    bin_u, bin_e, counts = [], [], []
+    for b in range(num_bins):
+        sel = idx == b
+        if not sel.any():
+            continue
+        bin_u.append(float(unc[sel].mean()))
+        bin_e.append(float(np.abs(err[sel]).mean()))
+        counts.append(int(sel.sum()))
+    return {"bin_uncertainty": bin_u, "bin_abs_error": bin_e, "counts": counts}
+
+
+def sparsification_curve(error, uncertainty, mask, num_points: int = 20):
+    """MAE after removing the q most-uncertain pixels, vs the oracle that
+    removes the largest-error pixels.  Returns fractions removed, the
+    uncertainty-ordered MAE curve, the oracle curve, and the area between
+    them (lower = better uncertainty ranking)."""
+    err, unc = _flatten_valid(error, uncertainty, mask)
+    abs_err = np.abs(err)
+    n = abs_err.size
+    if n == 0:
+        return {"fractions": [], "curve": [], "oracle": [], "ause": float("nan")}
+    order_unc = np.argsort(-unc)
+    order_err = np.argsort(-abs_err)
+    fractions = np.linspace(0, 0.99, num_points)
+    curve, oracle = [], []
+    for q in fractions:
+        k = int(q * n)
+        curve.append(float(abs_err[order_unc[k:]].mean()))
+        oracle.append(float(abs_err[order_err[k:]].mean()))
+    curve = np.array(curve) / max(curve[0], 1e-12)
+    oracle = np.array(oracle) / max(oracle[0], 1e-12)
+    return {
+        "fractions": fractions,
+        "curve": curve,
+        "oracle": oracle,
+        "ause": float(np.trapezoid(curve - oracle, fractions)),
+    }
+
+
+def precision_recall_vs_threshold(error, uncertainty, mask, error_threshold: float,
+                                  num_points: int = 50):
+    """Sweep uncertainty thresholds: precision/recall of 'certain' pixels
+    being correct (reference statistics.py:1287-1543)."""
+    err, unc = _flatten_valid(error, uncertainty, mask)
+    correct = np.abs(err) <= error_threshold
+    thresholds = np.quantile(unc, np.linspace(0.02, 0.98, num_points))
+    precision, recall, kept = [], [], []
+    total_correct = max(correct.sum(), 1)
+    for t in thresholds:
+        sel = unc <= t
+        if not sel.any():
+            continue
+        precision.append(float(correct[sel].mean()))
+        recall.append(float(correct[sel].sum() / total_correct))
+        kept.append(float(sel.mean()))
+    return {"thresholds": thresholds, "precision": precision,
+            "recall": recall, "fraction_kept": kept}
+
+
+def summarize(error, uncertainty, mask):
+    """Headline scalars: masked MAE/RMSE, mean uncertainty, Spearman
+    correlation between |error| and uncertainty."""
+    from scipy.stats import spearmanr
+
+    err, unc = _flatten_valid(error, uncertainty, mask)
+    if err.size == 0:
+        return {}
+    rho = spearmanr(np.abs(err), unc).statistic if err.size > 2 else float("nan")
+    return {
+        "mae": float(np.abs(err).mean()),
+        "rmse": float(np.sqrt((err**2).mean())),
+        "mean_uncertainty": float(unc.mean()),
+        "spearman_err_unc": float(rho),
+        "valid_pixels": int(err.size),
+    }
+
+
+def plot_report(path, ref_image, depth_est, depth_gt, mask, aleatoric, epistemic):
+    """Figure grid: image / error / aleatoric / epistemic + curves
+    (reference evidential/plot.py:8-123 + statistics heatmaps)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    error = (depth_est - depth_gt) * (mask > 0.5)
+    fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+    for ax, (title, img) in zip(
+        axes.flat,
+        [
+            ("reference", ref_image),
+            ("|error|", np.abs(error)),
+            ("aleatoric", aleatoric),
+            ("epistemic", epistemic),
+        ],
+    ):
+        im = ax.imshow(img if img.ndim == 2 else img.astype(np.uint8))
+        ax.set_title(title)
+        ax.axis("off")
+        if img.ndim == 2:
+            fig.colorbar(im, ax=ax, fraction=0.046)
+
+    total_unc = aleatoric + epistemic
+    spars = sparsification_curve(error, total_unc, mask)
+    axes[1, 1].plot(spars["fractions"], spars["curve"], label="by uncertainty")
+    axes[1, 1].plot(spars["fractions"], spars["oracle"], label="oracle")
+    axes[1, 1].set_title(f"sparsification (AUSE {spars['ause']:.3f})")
+    axes[1, 1].legend()
+
+    cal = calibration_curve(error, total_unc, mask)
+    axes[1, 2].plot(cal["bin_uncertainty"], cal["bin_abs_error"], marker="o")
+    axes[1, 2].set_xlabel("predicted uncertainty")
+    axes[1, 2].set_ylabel("observed |error|")
+    axes[1, 2].set_title("calibration")
+
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)

@@ -1,0 +1,95 @@
+"""Typed run configuration and named presets.
+
+Replaces the reference's three-tier env.sh + shell-script + argparse config
+stack (reference: env.sh, scripts/*.sh, train.py:29-74) with dataclasses
+and named presets mirroring the canonical configurations:
+
+- ``dtu_eval_smoke``  — DTU scan9, 3 views, 192 hyps, 400x296 (CPU-runnable)
+- ``dtu_eval``        — DTU full eval: 5 views, 512 hyps, up to 1152x864
+  (reference scripts/eval_dtu.sh used D=512, interval_scale=0.4, 600x800)
+- ``tnt_intermediate``— TnT: 7 views, inverse depth, padded pipeline
+- ``dtu_train``       — DTU training: D=128, interval_scale=1.06, 5 views,
+  image_scale 0.25 (reference scripts/train_dtu.sh)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EvalRunConfig:
+    testpath: str = ""
+    scans: list[str] = field(default_factory=list)
+    outdir: str = "outputs"
+    nviews: int = 5
+    ndepths: int = 512
+    interval_scale: float = 0.4
+    inverse_depth: bool = False
+    pad_vertical: bool = False
+    max_h: int = 864
+    max_w: int = 1152
+    depth_block: int = 8
+    use_bfloat16: bool = True
+
+
+@dataclass
+class TrainRunConfig:
+    datapath: str = ""
+    train_list: str = ""
+    val_list: str = ""
+    logdir: str = "checkpoints_tpu"
+    nviews: int = 5
+    ndepths: int = 128
+    interval_scale: float = 1.06
+    image_scale: float = 0.25
+    batch_size: int = 1
+    epochs: int = 10
+    learning_rate: float = 1e-3
+    lr_min: float = 2e-6
+    depth_block: int = 16
+    seed: int = 0
+    loadckpt: str | None = None
+    resume: bool = False
+    summary_freq: int = 20
+    save_freq: int = 1  # epochs between checkpoints
+
+
+@dataclass
+class FuseRunConfig:
+    testpath: str = ""
+    scans: list[str] = field(default_factory=list)
+    outdir: str = "outputs"
+    dataset: str = "dtu"  # dtu | tnt | tnt_padded
+    photo_threshold: float | None = None  # default per dataset
+
+
+EVAL_PRESETS: dict[str, dict] = {
+    "dtu_eval_smoke": dict(nviews=3, ndepths=192, interval_scale=1.06,
+                           max_h=296, max_w=400, use_bfloat16=False),
+    "dtu_eval": dict(nviews=5, ndepths=512, interval_scale=0.4,
+                     max_h=864, max_w=1152),
+    "dtu_eval_600x800": dict(nviews=7, ndepths=512, interval_scale=0.4,
+                             max_h=600, max_w=800),
+    "tnt_intermediate": dict(nviews=7, ndepths=512, inverse_depth=True,
+                             pad_vertical=True, max_h=544, max_w=1024),
+    "tnt_intermediate_960": dict(nviews=7, ndepths=512, inverse_depth=True,
+                                 pad_vertical=True, max_h=544, max_w=960),
+}
+
+
+def eval_preset(name: str, **overrides) -> EvalRunConfig:
+    if name not in EVAL_PRESETS:
+        raise KeyError(f"unknown eval preset {name!r}; have {sorted(EVAL_PRESETS)}")
+    return EvalRunConfig(**{**EVAL_PRESETS[name], **overrides})
+
+
+def train_preset(name: str = "dtu_train", **overrides) -> TrainRunConfig:
+    presets = {
+        "dtu_train": dict(),
+        "dtu_train_highres": dict(image_scale=1.0, ndepths=256),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown train preset {name!r}; have {sorted(presets)}")
+    return TrainRunConfig(**{**presets[name], **overrides})

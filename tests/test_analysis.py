@@ -1,0 +1,100 @@
+"""Tests for the uncertainty analytics and training logger."""
+
+import os
+
+import numpy as np
+
+from aa_rmvsnet_tpu.utils.analysis import (
+    uncertainty_roc,
+    uncertainty_precision_recall,
+    calibration_curve,
+    sparsification_curve,
+    precision_recall_vs_threshold,
+    summarize,
+    plot_report,
+)
+from aa_rmvsnet_tpu.utils.logging import TrainLogger
+
+
+def _well_calibrated(seed=0, n=64):
+    """Uncertainty proportional to |error| -> near-perfect detector."""
+    rng = np.random.RandomState(seed)
+    error = rng.randn(n, n).astype(np.float32) * 10
+    uncertainty = np.abs(error) + rng.rand(n, n) * 0.1
+    mask = np.ones((n, n), np.float32)
+    return error, uncertainty, mask
+
+
+class TestAnalytics:
+    def test_roc_perfect_detector(self):
+        e, u, m = _well_calibrated()
+        out = uncertainty_roc(e, u, m, error_threshold=10.0)
+        assert out["auc"] > 0.99
+
+    def test_roc_random_detector(self):
+        e, _, m = _well_calibrated()
+        rng = np.random.RandomState(1)
+        out = uncertainty_roc(e, rng.rand(*e.shape), m, error_threshold=10.0)
+        assert 0.4 < out["auc"] < 0.6
+
+    def test_precision_recall(self):
+        e, u, m = _well_calibrated()
+        out = uncertainty_precision_recall(e, u, m, error_threshold=10.0)
+        assert out["average_precision"] > 0.95
+
+    def test_calibration_monotone_for_good_uncertainty(self):
+        e, u, m = _well_calibrated()
+        cal = calibration_curve(e, u, m, num_bins=8)
+        diffs = np.diff(cal["bin_abs_error"])
+        assert (diffs > 0).mean() > 0.8
+        assert sum(cal["counts"]) == e.size
+
+    def test_sparsification_good_vs_bad(self):
+        e, u, m = _well_calibrated()
+        good = sparsification_curve(e, u, m)
+        rng = np.random.RandomState(2)
+        bad = sparsification_curve(e, rng.rand(*e.shape), m)
+        assert good["ause"] < bad["ause"]
+        assert good["ause"] < 0.05
+
+    def test_threshold_sweep(self):
+        e, u, m = _well_calibrated()
+        out = precision_recall_vs_threshold(e, u, m, error_threshold=10.0)
+        assert len(out["precision"]) > 10
+        # keeping only the most certain pixels should give high precision
+        assert out["precision"][0] > 0.95
+
+    def test_summarize(self):
+        e, u, m = _well_calibrated()
+        s = summarize(e, u, m)
+        assert s["valid_pixels"] == e.size
+        assert s["spearman_err_unc"] > 0.95
+        assert s["rmse"] >= s["mae"]
+
+    def test_masked_pixels_excluded(self):
+        e, u, m = _well_calibrated()
+        m2 = m.copy()
+        m2[: e.shape[0] // 2] = 0
+        s = summarize(e, u, m2)
+        assert s["valid_pixels"] == e.size // 2
+
+    def test_plot_report(self, tmp_path):
+        e, u, m = _well_calibrated(n=32)
+        gt = np.full((32, 32), 500.0, np.float32)
+        path = tmp_path / "report.png"
+        plot_report(path, np.zeros((32, 32, 3)), gt + e, gt, m, u, u * 0.1)
+        assert path.exists() and path.stat().st_size > 0
+
+
+class TestTrainLogger:
+    def test_scalars_images_dump(self, tmp_path):
+        logger = TrainLogger(str(tmp_path / "tb"))
+        logger.scalars("train", {"loss": 1.5, "mae": 3.0}, step=1)
+        logger.images("train", {"depth": np.random.rand(16, 16)}, step=1)
+        path = logger.dump("train", {"depth": np.random.rand(4, 4)}, step=1)
+        logger.flush()
+        assert os.path.exists(path)
+        loaded = np.load(path)
+        assert loaded["depth"].shape == (4, 4)
+        # tensorboard event file written
+        assert any(f.startswith("events") for f in os.listdir(tmp_path / "tb"))

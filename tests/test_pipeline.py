@@ -1,0 +1,201 @@
+"""Dataset, inference-driver, and fusion tests on synthetic scenes."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from aa_rmvsnet_tpu.core.pfm import read_pfm
+from aa_rmvsnet_tpu.core.ply import read_ply
+from aa_rmvsnet_tpu.data import EvalDataset, DTUTrainDataset, prefetch_samples
+from aa_rmvsnet_tpu.data.loader import batched
+from aa_rmvsnet_tpu.models import init_params
+from aa_rmvsnet_tpu.pipeline.infer import InferConfig, run_inference
+from aa_rmvsnet_tpu.pipeline.fuse import FuseConfig, fuse_scan, graduated_consistency
+
+from scenefix import make_plane_scene, write_prediction, write_cam
+
+
+class TestEvalDataset:
+    def test_sample_contents(self, tmp_path):
+        make_plane_scene(tmp_path, H=64, W=80)
+        ds = EvalDataset(str(tmp_path), ["scan1"], nviews=3, ndepths=16,
+                         max_h=64, max_w=80)
+        assert len(ds) == 4
+        s = ds[0]
+        assert s["imgs"].shape == (3, 64, 80, 3)
+        assert s["proj_matrices"].shape == (3, 4, 4)
+        assert s["depth_values"].shape == (16,)
+        assert s["depth_values"][0] == pytest.approx(425.0)
+        assert s["filename"] == "scan1/{}/00000000{}"
+        # standardized images
+        np.testing.assert_allclose(s["imgs"][0].mean(), 0, atol=1e-4)
+
+    def test_adaptive_downscale_adjusts_intrinsics(self, tmp_path):
+        make_plane_scene(tmp_path, H=64, W=80)
+        ds = EvalDataset(str(tmp_path), ["scan1"], nviews=3, ndepths=8,
+                         max_h=32, max_w=40)
+        s = ds[0]
+        assert s["imgs"].shape[1:3] == (32, 40)
+        # focal scaled by 0.5: K = proj[:3,:3] @ inv(E)... E = identity for view 0
+        assert s["proj_matrices"][0][0, 0] == pytest.approx(400.0 * 0.5, rel=1e-5)
+
+    def test_inverse_depth_and_padding_variant(self, tmp_path):
+        make_plane_scene(tmp_path, H=64, W=80, with_depth_end=True)
+        ds = EvalDataset(str(tmp_path), ["scan1"], nviews=3, ndepths=8,
+                         max_h=72, max_w=80, pad_vertical=True)
+        s = ds[0]
+        assert s["imgs"].shape[1:3] == (72, 80)  # 64 + 8 pad rows
+        d = s["depth_values"]
+        assert d[0] == pytest.approx(425.0)
+        assert np.all(np.diff(d) > 0) and d[-1] < 935.0  # bounded inverse
+
+
+class TestDTUTrainDataset:
+    def _make_dtu(self, root, scans=("scan1",), H=64, W=80):
+        os.makedirs(os.path.join(root, "Cameras/train"), exist_ok=True)
+        import cv2
+
+        K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]], np.float32)
+        with open(os.path.join(root, "Cameras/pair.txt"), "w") as f:
+            f.write("3\n")
+            for v in range(3):
+                srcs = [s for s in range(3) if s != v]
+                f.write(f"{v}\n2 " + " ".join(f"{s} {5 - i}" for i, s in enumerate(srcs)) + "\n")
+        for v in range(3):
+            E = np.eye(4, dtype=np.float32)
+            E[0, 3] = v * 1.0
+            write_cam(os.path.join(root, f"Cameras/train/{v:08d}_cam.txt"), K, E, 425.0, 2.5)
+        rng = np.random.RandomState(0)
+        for scan in scans:
+            os.makedirs(os.path.join(root, f"Rectified/{scan}_train"), exist_ok=True)
+            os.makedirs(os.path.join(root, f"Depths/{scan}_train"), exist_ok=True)
+            for v in range(3):
+                for light in range(7):
+                    img = (rng.rand(H * 4, W * 4, 3) * 255).astype(np.uint8)
+                    cv2.imwrite(
+                        os.path.join(root, f"Rectified/{scan}_train/rect_{v + 1:03d}_{light}_r5000.png"),
+                        img,
+                    )
+                from aa_rmvsnet_tpu.core.pfm import save_pfm
+
+                save_pfm(
+                    os.path.join(root, f"Depths/{scan}_train/depth_map_{v:04d}.pfm"),
+                    rng.uniform(400, 900, (H, W)).astype(np.float32),
+                )
+        listfile = os.path.join(root, "train.txt")
+        with open(listfile, "w") as f:
+            f.write("\n".join(scans) + "\n")
+        return listfile
+
+    def test_metas_and_sample(self, tmp_path):
+        listfile = self._make_dtu(str(tmp_path))
+        ds = DTUTrainDataset(str(tmp_path), listfile, nviews=3, ndepths=8,
+                             image_scale=0.25)
+        # 1 scan x 3 ref views x 7 lights x 2 (both) = 42
+        assert len(ds) == 42
+        s = ds[0]
+        assert s["imgs"].shape == (3, 64, 80, 3)
+        assert s["depth"].shape == (64, 80)
+        assert s["mask"].shape == (64, 80)
+        assert s["depth_values"].shape == (8,)
+        assert set(np.unique(s["mask"])) <= {0.0, 1.0}
+        # both=True: first meta flipped, second not
+        assert ds.metas[0][4] is True and ds.metas[1][4] is False
+        assert ds[1]["depth_values"][0] == pytest.approx(425.0)
+        assert s["depth_values"][0] == pytest.approx(425.0 + 2.5 * 1.06 * 7, rel=1e-4)
+
+    def test_sharding(self, tmp_path):
+        listfile = self._make_dtu(str(tmp_path))
+        ds = DTUTrainDataset(str(tmp_path), listfile, nviews=3, ndepths=8)
+        a, b = ds.shard(0, 2), ds.shard(1, 2)
+        assert len(a) + len(b) == len(ds)
+        key = lambda m: (m[0], m[1], m[2], tuple(m[3]), m[4])
+        assert not (set(map(key, a.metas)) & set(map(key, b.metas)))
+
+    def test_prefetch_loader(self, tmp_path):
+        listfile = self._make_dtu(str(tmp_path))
+        ds = DTUTrainDataset(str(tmp_path), listfile, nviews=3, ndepths=8)
+        seq = list(prefetch_samples(ds, range(4), num_workers=4))
+        assert len(seq) == 4
+        for got, idx in zip(seq, range(4)):
+            np.testing.assert_array_equal(got["imgs"], ds[idx]["imgs"])
+        batches = list(batched(iter(seq), 2))
+        assert batches[0]["imgs"].shape[0] == 2
+
+
+class TestFusion:
+    def test_consistent_plane_survives(self, tmp_path):
+        scene, gt, K, Es = make_plane_scene(tmp_path, H=64, W=80, num_views=4)
+        out_dir = os.path.join(tmp_path, "out", "scan1")
+        for v in range(4):
+            write_prediction(out_dir, v, gt, np.full_like(gt, 0.9))
+        ply = os.path.join(tmp_path, "fused.ply")
+        n = fuse_scan(scene, out_dir, ply, FuseConfig(num_workers=2))
+        assert n > 0.8 * 4 * 64 * 80  # most pixels survive in every view
+        xyz, rgb = read_ply(ply)
+        np.testing.assert_allclose(xyz[:, 2], 500.0, atol=1.0)
+
+    def test_inconsistent_depth_rejected(self, tmp_path):
+        scene, gt, K, Es = make_plane_scene(tmp_path, H=64, W=80, num_views=4)
+        out_dir = os.path.join(tmp_path, "out", "scan1")
+        rng = np.random.RandomState(0)
+        for v in range(4):
+            noisy = gt + rng.uniform(50, 150, gt.shape).astype(np.float32) * rng.choice([-1, 1])
+            write_prediction(out_dir, v, noisy, np.full_like(gt, 0.9))
+        try:
+            n = fuse_scan(scene, out_dir, os.path.join(tmp_path, "f.ply"),
+                          FuseConfig(num_workers=2))
+        except RuntimeError:
+            n = 0  # nothing survived at all
+        # vs ~80% survival for the consistent plane: noise kills the cloud
+        assert n < 0.05 * 4 * 64 * 80, n
+
+    def test_low_confidence_rejected(self, tmp_path):
+        scene, gt, K, Es = make_plane_scene(tmp_path, H=64, W=80, num_views=4)
+        out_dir = os.path.join(tmp_path, "out", "scan1")
+        for v in range(4):
+            write_prediction(out_dir, v, gt, np.full_like(gt, 0.1))  # < 0.35
+        try:
+            n = fuse_scan(scene, out_dir, os.path.join(tmp_path, "f.ply"),
+                          FuseConfig(num_workers=2))
+        except RuntimeError:
+            n = 0
+        assert n == 0
+
+    def test_graduated_consistency_perfect_geometry(self, tmp_path):
+        _, gt, K, Es = make_plane_scene(tmp_path, H=32, W=40, num_views=2)
+        masks, reproj = graduated_consistency(
+            gt, K.astype(np.float64), Es[0].astype(np.float64),
+            gt, K.astype(np.float64), Es[1].astype(np.float64), FuseConfig()
+        )
+        # Perfectly consistent plane: every level passes away from borders.
+        inner = (slice(2, -2), slice(2, -2))
+        for m in masks:
+            assert m[inner].all()
+        np.testing.assert_allclose(reproj[inner], 500.0, atol=1e-3)
+
+
+class TestInferenceDriver:
+    def test_end_to_end_depth_generation_and_fusion(self, tmp_path):
+        """Full pipeline: scene -> dataset -> inference -> PFM -> fusion."""
+        scene, gt, K, Es = make_plane_scene(tmp_path, H=32, W=40, num_views=3,
+                                            focal=200.0)
+        ds = EvalDataset(str(tmp_path), ["scan1"], nviews=3, ndepths=8,
+                         max_h=32, max_w=40)
+        params = init_params(jax.random.PRNGKey(0), 32, 40)
+        out_root = os.path.join(tmp_path, "outputs")
+        stats = run_inference(
+            params, ds,
+            InferConfig(out_root=out_root, depth_block=4,
+                        feature_dtype=np.float32, num_workers=2),
+            progress=False,
+        )
+        assert stats["count"] == 3
+        for v in range(3):
+            d, _ = read_pfm(os.path.join(out_root, f"scan1/depth_est_0/{v:08d}.pfm"))
+            c, _ = read_pfm(os.path.join(out_root, f"scan1/confidence_0/{v:08d}.pfm"))
+            assert d.shape == (32, 40) and np.isfinite(d).all()
+            assert (c >= 0).all() and (c <= 1.0001).all()

@@ -35,7 +35,11 @@ def prefetch_samples(
         for _ in range(min(lookahead, len(indices))):
             pending.append(pool.submit(dataset.__getitem__, next(it)))
         while pending:
-            out = pending.pop(0).result()
+            fut = pending.pop(0)
+            try:
+                out = fut.result()
+            except Exception as exc:  # surfaced to the consumer, run continues
+                out = exc
             try:
                 pending.append(pool.submit(dataset.__getitem__, next(it)))
             except StopIteration:

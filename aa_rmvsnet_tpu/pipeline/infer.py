@@ -100,7 +100,15 @@ def run_inference(
 
     count = 0
     total = 0.0
+    failures: list[str] = []
     for sample in prefetch_samples(dataset, num_workers=config.num_workers):
+        if isinstance(sample, Exception):
+            # Loader-side failure (corrupt image, missing cam): skip the
+            # view, keep the run alive, and report at the end — unlike the
+            # reference's silent bare-except (eval.py:170, quirk ledger).
+            failures.append(str(sample))
+            print(f"SKIP (load failure): {sample}", flush=True)
+            continue
         imgs = jnp.asarray(sample["imgs"][None])
         proj = jnp.asarray(sample["proj_matrices"][None])
         depths = jnp.asarray(sample["depth_values"][None])
@@ -132,4 +140,11 @@ def run_inference(
             print(f"[{count}/{len(dataset)}] {sample['scan']}/{sample['ref_view']:08d}"
                   f"  {dt:.3f}s", flush=True)
 
-    return {"count": count, "total_s": total, "maps_per_s": count / max(total, 1e-9)}
+    if failures:
+        print(f"run_inference: {len(failures)} sample(s) skipped due to load failures")
+    return {
+        "count": count,
+        "total_s": total,
+        "maps_per_s": count / max(total, 1e-9),
+        "failures": failures,
+    }

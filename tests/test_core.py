@@ -191,3 +191,24 @@ class TestPly:
         x2, c2 = read_ply(path)
         np.testing.assert_array_equal(x2, xyz)
         np.testing.assert_array_equal(c2, rgb)
+
+
+class TestPF:
+    def test_read_pf(self, tmp_path):
+        import numpy as np
+        from aa_rmvsnet_tpu.core.pfm import read_pf
+
+        data = np.arange(12, dtype="<f4").reshape(3, 4)
+        path = tmp_path / "img.PF"
+        with open(path, "wb") as f:
+            f.write(b"Typ=Pic98::TPlane<float>\nLines=3\nColumns=4\n")
+            f.write(data.tobytes())
+        out = read_pf(path)
+        np.testing.assert_array_equal(out, data)
+
+    def test_read_pf_rejects_other(self, tmp_path):
+        from aa_rmvsnet_tpu.core.pfm import read_pf
+
+        path = tmp_path / "x.PF"
+        path.write_bytes(b"NotAPF")
+        assert read_pf(path) is None

@@ -31,8 +31,8 @@ from flax import linen as nn
 from .feature import FeatNet
 from .aggregation import InterViewAA
 from .regularizer import UNetConvLSTM, init_states
-from ..ops.grid_sample import bilinear_sample_xy
 from ..ops.homography import homography_terms, plane_sweep_xy
+from ..ops.patch_sample import build_patch_table, patch_bilinear_sample
 
 
 class AARMVSNetCore(nn.Module):
@@ -125,7 +125,7 @@ def extract_features(params, imgs: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarra
 def _build_cost_block(
     params,
     ref_feat: jnp.ndarray,
-    src_feats: jnp.ndarray,
+    src_tables: jnp.ndarray,
     rot_grids: jnp.ndarray,
     transes: jnp.ndarray,
     depth_block: jnp.ndarray,
@@ -134,24 +134,24 @@ def _build_cost_block(
 
     Args:
       ref_feat: ``(B, H, W, C)``.
-      src_feats: ``(S, B, H, W, C)``.
+      src_tables: ``(S, B, H*W, 4C)`` patch tables of the source features
+        (:func:`build_patch_table`) — one 128-lane gather row per sample.
       rot_grids: ``(S, B, 3, H*W)``; transes: ``(S, B, 3, 1)``.
       depth_block: ``(B, Db)``.
 
     Returns:
       ``(Db, B, H, W, C)`` negated variance cost slices (regularizer input).
     """
-    S, B, H, W, C = src_feats.shape
+    S, B, HW, C4 = src_tables.shape
+    _, H, W, C = ref_feat.shape
     Db = depth_block.shape[1]
 
-    def warp_one_view(feat, rot_grid, trans):
+    def warp_one_view(table, rot_grid, trans):
         x, y = plane_sweep_xy(rot_grid, trans, depth_block)  # (B, Db, H*W)
-        out = bilinear_sample_xy(feat, x.reshape(B, -1), y.reshape(B, -1))
-        # Coordinates/weights stay fp32; cast back so the low-precision
-        # sweep keeps a uniform compute dtype downstream.
-        return out.reshape(B, Db, H, W, C).astype(feat.dtype)
+        out = patch_bilinear_sample(table, x.reshape(B, -1), y.reshape(B, -1), H, W)
+        return out.reshape(B, Db, H, W, C)
 
-    warped = jax.vmap(warp_one_view)(src_feats, rot_grids, transes)  # (S,B,Db,H,W,C)
+    warped = jax.vmap(warp_one_view)(src_tables, rot_grids, transes)  # (S,B,Db,H,W,C)
     residual_sq = (warped - ref_feat[None, :, None]) ** 2
 
     # Batch omega over (B, S, Db) with the data-sharded B axis OUTERMOST in
@@ -206,6 +206,9 @@ def sweep(
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
         )
     ref_feat, src_feats = features[0], features[1:]
+    # One patch table per source view: each warp sample becomes a single
+    # 128-lane gather row (see ops/patch_sample.py).
+    src_tables = jax.vmap(build_patch_table)(src_feats)
 
     ref_proj = proj_matrices[:, 0]
     src_projs = proj_matrices[:, 1:].transpose(1, 0, 2, 3)  # (S, B, 4, 4)
@@ -230,7 +233,7 @@ def sweep(
     def block_step(carry, depth_block_values):
         states, depth_img, max_cost, lse = carry
         cost_block = _build_cost_block(
-            params, ref_feat, src_feats, rot_grids, transes, depth_block_values
+            params, ref_feat, src_tables, rot_grids, transes, depth_block_values
         )
         states, costs = regularize_block(states, cost_block)  # costs (block,B,H,W)
         costs = costs.astype(jnp.float32)

@@ -80,30 +80,38 @@ def deform_conv(
     materializing the ``(B, H, W, 9, C)`` sample tensor, whose 32-channel
     lanes would be padded 4x by TPU tiling (observed 22.9 GB at 1152x864).
     """
+    from .patch_sample import build_patch_table, patch_bilinear_sample
+
     B, H, W, C = x.shape
     O = kernel.shape[-1]
     Hp, Wp = H + 2, W + 2
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    flat = x_pad.reshape(B, Hp * Wp, C)
 
-    corners, weights = _tap_geometry(x_pad.shape, offset)
-    r0, c0, r1, c1 = corners
-    g_lt, g_rb, g_lb, g_rt = weights
+    # One 2x2 patch table over the padded image: each tap sample is a single
+    # 128-lane gather row + tent-weight blend.  Because the reference clamps
+    # sample positions into the zero-pad ring (module.py:153-159), its
+    # clamp-to-border semantics coincide with the tent/zero semantics here —
+    # every clamped-out position lands on zero texels either way.
+    table = build_patch_table(x_pad)
+
+    K = 9
+    rows = jnp.arange(1, H + 1, dtype=offset.dtype)
+    cols = jnp.arange(1, W + 1, dtype=offset.dtype)
+    dr = jnp.repeat(jnp.arange(-1, 2, dtype=offset.dtype), 3)
+    dc = jnp.tile(jnp.arange(-1, 2, dtype=offset.dtype), 3)
+    p_r = rows[None, :, None, None] + dr + offset[..., :K]  # (B, H, W, 9)
+    p_c = cols[None, None, :, None] + dc + offset[..., K:]
+
     w_kernel = kernel.reshape(9, C, O)
-
     out = jnp.zeros((B, H, W, O), x.dtype)
     for n in range(9):
-        def gather(rr, cc, g):
-            idx = (rr[..., n].astype(jnp.int32) * Wp + cc[..., n].astype(jnp.int32))
-            vals = jnp.take_along_axis(flat, idx.reshape(B, -1)[..., None], axis=1)
-            return vals.reshape(B, H, W, C) * g[..., n, None]
-
-        tap = (
-            gather(r0, c0, g_lt)
-            + gather(r1, c1, g_rb)
-            + gather(r0, c1, g_lb)
-            + gather(r1, c0, g_rt)
-        ) * modulation[..., n, None]
+        tap = patch_bilinear_sample(
+            table,
+            p_c[..., n].reshape(B, -1),
+            p_r[..., n].reshape(B, -1),
+            Hp, Wp,
+        ).reshape(B, H, W, C)
+        tap = tap * modulation[..., n, None]
         out = out + tap @ w_kernel[n]
     if bias is not None:
         out = out + bias

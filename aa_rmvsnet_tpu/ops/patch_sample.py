@@ -1,0 +1,85 @@
+"""Patch-table bilinear sampling — the TPU-fast warp gather.
+
+Naive bilinear sampling performs 4 row-gathers of C=32 channels per sample;
+on TPU each 32-lane row is padded to 128 lanes, so 75% of every gathered
+byte is padding and the op runs at random-access latency (measured: the
+cost-volume build at 432x576 spent ~220 ms *per depth hypothesis* in these
+gathers).
+
+This module instead precomputes, once per source view, a **patch table**:
+row ``p = y*W + x`` holds the 2x2 neighborhood ``[f(y,x), f(y,x+1),
+f(y+1,x), f(y+1,x+1)]`` flattened to ``4C = 128`` lanes — exactly one TPU
+vector register row, zero padding waste.  Each warp sample then costs ONE
+gather row, and the bilinear blend is a lane-wise tent-weight multiply +
+4-group reduction.
+
+Zero-padding semantics (torch grid_sample ``padding_mode='zeros'``,
+align_corners=True — reference models/module.py:36) fall out naturally:
+the table is built from a zero-padded feature map, and the tent weights
+``max(0, 1-|coord - corner|)`` evaluate to the correct bilinear weights for
+every clamping case (in-bounds, straddling the border, fully outside).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def build_patch_table(feat: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the 2x2-neighborhood table for a feature map.
+
+    Args:
+      feat: ``(B, H, W, C)``.
+
+    Returns:
+      ``(B, H*W, 4*C)`` table; row ``y*W + x`` is the flattened
+      ``[(y,x), (y,x+1), (y+1,x), (y+1,x+1)]`` neighborhood, with
+      out-of-image texels equal to zero.
+    """
+    B, H, W, C = feat.shape
+    padded = jnp.pad(feat, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    table = jnp.concatenate(
+        [
+            padded[:, :H, :W],
+            padded[:, :H, 1 : W + 1],
+            padded[:, 1 : H + 1, :W],
+            padded[:, 1 : H + 1, 1 : W + 1],
+        ],
+        axis=-1,
+    )
+    return table.reshape(B, H * W, 4 * C)
+
+
+def patch_bilinear_sample(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """Bilinear-sample using a precomputed patch table.
+
+    Args:
+      table: ``(B, H*W, 4C)`` from :func:`build_patch_table`.
+      x, y: ``(B, N)`` fractional pixel coordinates (fp32).
+      height, width: source image size (table geometry).
+
+    Returns:
+      ``(B, N, C)`` samples in the table's dtype; zero where out of bounds.
+    """
+    B, HW, C4 = table.shape
+    C = C4 // 4
+
+    xb = jnp.clip(jnp.floor(x), 0, width - 1)
+    yb = jnp.clip(jnp.floor(y), 0, height - 1)
+    idx = (yb * width + xb).astype(jnp.int32)
+
+    rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, N, 4C)
+
+    tent = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    tx0, tx1 = tent(x - xb), tent(x - (xb + 1.0))
+    ty0, ty1 = tent(y - yb), tent(y - (yb + 1.0))
+    w4 = jnp.stack([ty0 * tx0, ty0 * tx1, ty1 * tx0, ty1 * tx1], axis=-1)
+
+    patches = rows.reshape(B, -1, 4, C)
+    return jnp.sum(patches * w4.astype(table.dtype)[..., None], axis=2)

@@ -186,3 +186,76 @@ class TestDeformSampling:
             padding=1,
         ).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, 0.5 * t, atol=1e-4)
+
+
+class TestPatchSample:
+    """Patch-table sampling must match the plain bilinear sampler exactly."""
+
+    def test_matches_bilinear_sampler(self):
+        from aa_rmvsnet_tpu.ops.patch_sample import build_patch_table, patch_bilinear_sample
+        from aa_rmvsnet_tpu.ops.grid_sample import bilinear_sample_xy
+
+        B, H, W, C = 2, 13, 17, 5
+        feat = rand(B, H, W, C, seed=20)
+        rng = np.random.RandomState(21)
+        # spans in-bounds, border-straddling, and far out-of-bounds
+        x = (rng.rand(B, 300) * (W + 8) - 4).astype(np.float32)
+        y = (rng.rand(B, 300) * (H + 8) - 4).astype(np.float32)
+
+        table = build_patch_table(jnp.asarray(feat))
+        ours = np.asarray(
+            patch_bilinear_sample(table, jnp.asarray(x), jnp.asarray(y), H, W)
+        )
+        ref = np.asarray(
+            bilinear_sample_xy(jnp.asarray(feat), jnp.asarray(x), jnp.asarray(y))
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_integer_coords_identity(self):
+        from aa_rmvsnet_tpu.ops.patch_sample import build_patch_table, patch_bilinear_sample
+
+        feat = rand(1, 6, 7, 3, seed=22)
+        ys, xs = np.meshgrid(np.arange(6), np.arange(7), indexing="ij")
+        table = build_patch_table(jnp.asarray(feat))
+        out = np.asarray(
+            patch_bilinear_sample(
+                table,
+                jnp.asarray(xs.reshape(1, -1).astype(np.float32)),
+                jnp.asarray(ys.reshape(1, -1).astype(np.float32)),
+                6, 7,
+            )
+        ).reshape(1, 6, 7, 3)
+        np.testing.assert_allclose(out, feat, atol=1e-6)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference tree absent")
+class TestDeformConvFused:
+    def test_patch_table_deform_matches_reference(self):
+        """The production tap-accumulated patch-table deform conv must match
+        the reference module bit-for-bit (same test setup as the oracle
+        sampling test, but through ops.deform_conv)."""
+        from oracle import import_reference_module
+        from aa_rmvsnet_tpu.ops.deform import deform_conv
+
+        ref_mod = import_reference_module("models.module")
+        torch.manual_seed(5)
+        B, H, W, C, O = 2, 11, 13, 6, 4
+        layer = ref_mod.DeformConv2d(C, O, kernel_size=3, padding=1, stride=1, bias=True)
+        with torch.no_grad():
+            layer.p_conv.weight.normal_(0, 0.3)  # large offsets: exercise OOB
+            layer.m_conv.weight.normal_(0, 0.05)
+
+        x = rand(B, H, W, C, seed=30)
+        t_x = torch.from_numpy(x).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            theirs = layer(t_x).permute(0, 2, 3, 1).numpy()
+            offset = layer.p_conv(t_x).permute(0, 2, 3, 1).numpy()
+            modulation = torch.sigmoid(layer.m_conv(t_x)).permute(0, 2, 3, 1).numpy()
+
+        kernel = layer.conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+        bias = layer.conv.bias.detach().numpy()
+        ours = np.asarray(deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(modulation),
+            jnp.asarray(kernel), jnp.asarray(bias),
+        ))
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)

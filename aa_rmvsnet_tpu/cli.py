@@ -146,11 +146,21 @@ def cmd_train(args):
     from .pipeline.checkpoint import make_manager, save_state, restore_latest
     from .utils.metrics import MeterDict
 
+    from .utils.logging import TrainLogger
+
     ds = DTUTrainDataset(
         args.trainpath, args.trainlist, nviews=args.view_num,
         ndepths=args.numdepth, interval_scale=args.interval_scale,
         image_scale=args.image_scale,
     )
+    val_ds = None
+    if args.vallist:
+        val_ds = DTUTrainDataset(
+            args.trainpath, args.vallist, nviews=args.view_num,
+            ndepths=args.numdepth, interval_scale=args.interval_scale,
+            image_scale=args.image_scale, light_idx=3, both=False,
+        )
+    logger = TrainLogger(args.logdir)
     steps_per_epoch = max(len(ds) // args.batch_size, 1)
     config = TrainConfig(
         learning_rate=args.lr, total_steps=args.epochs * steps_per_epoch,
@@ -162,6 +172,7 @@ def cmd_train(args):
         params = init_params(jax.random.PRNGKey(0))
     opt_state = tx.init(params)
     step_fn = make_train_step(config, tx)
+    eval_fn = make_eval_step(config)
 
     manager = make_manager(args.logdir)
     start_step = 0
@@ -185,15 +196,35 @@ def cmd_train(args):
             step += 1
             if step % 20 == 0:
                 m = meter.mean()
+                logger.scalars("train", m, step)
                 print(f"epoch {epoch} step {step}: " +
                       " ".join(f"{k}={v:.4f}" for k, v in m.items()), flush=True)
                 meter = MeterDict()
             if args.max_steps and step - start_step >= args.max_steps:
                 save_state(manager, step, params, opt_state)
+                manager.wait_until_finished()
                 print("max_steps reached")
                 return
         save_state(manager, step, params, opt_state)
         print(f"epoch {epoch} checkpointed at step {step}")
+
+        # Per-epoch validation pass with threshold metrics (reference
+        # train.py:262-285 runs its "fulltest" sweep every epoch).
+        if val_ds is not None:
+            vmeter = MeterDict()
+            vit = batched(
+                prefetch_samples(val_ds, num_workers=8), args.batch_size,
+                drop_last=True,
+            )
+            for vbatch in vit:
+                vbatch = {k: v for k, v in vbatch.items() if k != "name"}
+                vmeter.update(eval_fn(params, vbatch))
+            vm = vmeter.mean()
+            logger.scalars("fulltest", vm, step)
+            print(f"epoch {epoch} fulltest: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in vm.items()), flush=True)
+    manager.wait_until_finished()
+    logger.close()
 
 
 def main(argv=None):

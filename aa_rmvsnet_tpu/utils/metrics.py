@@ -24,6 +24,22 @@ def abs_depth_error(depth_est, depth_gt, mask):
     return jnp.sum(err) / jnp.maximum(jnp.sum(mask > 0.5), 1)
 
 
+def std_prob(prob_volume, axis: int = 1):
+    """Standard deviation of the probability volume over the depth axis — a
+    cheap confidence proxy (reference: statistics.py:11-16)."""
+    return jnp.std(prob_volume, axis=axis)
+
+
+def interval_threshold_error_rate(depth_est, depth_gt, mask, depth_interval,
+                                  threshold_in_intervals: float):
+    """Fraction of valid pixels with |err| > k * depth_interval — the
+    reference's interval-relative variant (utils.py ``Thres_metrics_tfversion``)."""
+    tau = depth_interval * threshold_in_intervals
+    err = jnp.abs(depth_est - depth_gt)
+    bad = (err > tau[..., None, None]) & (mask > 0.5)
+    return jnp.sum(bad) / jnp.maximum(jnp.sum(mask > 0.5), 1)
+
+
 class MeterDict:
     """Running mean of scalar metric dicts (reference utils.py:102-121)."""
 

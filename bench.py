@@ -78,13 +78,15 @@ def main():
         return forward(params, imgs, proj, depths, config)
 
     args = (params, jnp.asarray(imgs), jnp.asarray(proj), jnp.asarray(depths))
+    # NOTE: the axon TPU tunnel's block_until_ready returns without waiting,
+    # so every timing point forces a device-to-host scalar fetch instead.
     out = run(*args)  # compile + warmup
-    jax.block_until_ready(out)
+    _ = float(out["depth"][0, 0, 0])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(*args)
-    jax.block_until_ready(out)
+        _ = float(out["depth"][0, 0, 0])
     dt = (time.perf_counter() - t0) / iters
 
     maps_per_s = 1.0 / dt

@@ -111,3 +111,30 @@ class TestCLI:
             "--num_workers", "2",
         ])
         assert os.path.exists(os.path.join(out, "mvsnet_001_l3.ply"))
+
+
+class TestTrainCLI:
+    def test_train_smoke_with_validation(self, tmp_path):
+        """Two training steps + checkpoint + resume on a synthetic DTU tree."""
+        from test_pipeline import TestDTUTrainDataset
+
+        listfile = TestDTUTrainDataset()._make_dtu(str(tmp_path), H=16, W=16)
+        from aa_rmvsnet_tpu.cli import main
+
+        logdir = str(tmp_path / "logs")
+        main([
+            "train", "--trainpath", str(tmp_path), "--trainlist", listfile,
+            "--vallist", listfile, "--logdir", logdir,
+            "--epochs", "1", "--numdepth", "4", "--view_num", "3",
+            "--image_scale", "0.25", "--max_steps", "2",
+        ])
+        import os
+
+        assert any(d.isdigit() for d in os.listdir(logdir)), os.listdir(logdir)
+        # resume picks up the saved step
+        main([
+            "train", "--trainpath", str(tmp_path), "--trainlist", listfile,
+            "--logdir", logdir, "--epochs", "1", "--numdepth", "4",
+            "--view_num", "3", "--image_scale", "0.25", "--max_steps", "1",
+            "--resume",
+        ])

@@ -39,6 +39,15 @@ from ..core.pfm import read_pfm
 from ..core.ply import write_ply
 
 
+def _native_available() -> bool:
+    try:
+        from .native import available
+
+        return available()
+    except Exception:
+        return False
+
+
 @dataclass
 class FuseConfig:
     photo_threshold: float = 0.35  # 0.35 DTU / 0.2 TnT (fusion.py:285-288)
@@ -46,6 +55,7 @@ class FuseConfig:
     rel_diff_base: float = 1300.0  # level-i relative depth threshold = i / base
     num_levels: int = 9  # graduated levels i in [2, 2+num_levels)
     num_workers: int = 8
+    use_native: bool = True  # OpenMP fused core when built (pipeline/native.py)
 
 
 def reproject_with_depth(depth_ref, K_ref, E_ref, depth_src, K_src, E_src):
@@ -258,23 +268,34 @@ def fuse_scan(
 
         photo_mask = confidence > config.photo_threshold
 
-        level_sums = None
+        use_native = config.use_native and _native_available()
+        level_sums = np.zeros((config.num_levels,) + ref_depth.shape, np.int32)
         reproj_sum = np.zeros_like(ref_depth)
         loose_sum = np.zeros(ref_depth.shape, np.int32)
+        any_src = False
         for src_view in src_views:
             src_depth = load_depth(src_view)
             if src_depth is None:
                 continue
+            any_src = True
             K_src, E_src = _load_camera(scan_folder, src_view, scale, index, flag)
-            masks, depth_reproj = graduated_consistency(
-                ref_depth, K_ref, E_ref, src_depth, K_src, E_src, config
-            )
-            stacked = np.stack([m.astype(np.int32) for m in masks])
-            level_sums = stacked if level_sums is None else level_sums + stacked
-            loose_sum += masks[-1].astype(np.int32)
-            reproj_sum += depth_reproj
+            if use_native:
+                from .native import fuse_pair_native
 
-        if level_sums is None:
+                fuse_pair_native(
+                    ref_depth, K_ref, E_ref, src_depth, K_src, E_src,
+                    level_sums, loose_sum, reproj_sum,
+                    config.dist_base, config.rel_diff_base,
+                )
+            else:
+                masks, depth_reproj = graduated_consistency(
+                    ref_depth, K_ref, E_ref, src_depth, K_src, E_src, config
+                )
+                level_sums += np.stack([m.astype(np.int32) for m in masks])
+                loose_sum += masks[-1].astype(np.int32)
+                reproj_sum += depth_reproj
+
+        if not any_src:
             return None
         # A pixel passes if >= i views agree at graduated level i, any i.
         geo_mask = np.zeros(ref_depth.shape, bool)

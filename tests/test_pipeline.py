@@ -199,3 +199,55 @@ class TestInferenceDriver:
             c, _ = read_pfm(os.path.join(out_root, f"scan1/confidence_0/{v:08d}.pfm"))
             assert d.shape == (32, 40) and np.isfinite(d).all()
             assert (c >= 0).all() and (c <= 1.0001).all()
+
+
+class TestNativeFusionCore:
+    def test_native_matches_numpy_path(self, tmp_path):
+        from aa_rmvsnet_tpu.pipeline.native import available, fuse_pair_native
+
+        if not available():
+            pytest.skip("no C++ toolchain for the native fusion core")
+
+        _, gt, K, Es = make_plane_scene(tmp_path, H=48, W=64, num_views=2)
+        rng = np.random.RandomState(0)
+        ref_depth = (gt + rng.randn(*gt.shape).astype(np.float32) * 0.5)
+        src_depth = (gt + rng.randn(*gt.shape).astype(np.float32) * 0.5)
+        cfg = FuseConfig()
+
+        masks, reproj = graduated_consistency(
+            ref_depth, K.astype(np.float64), Es[0].astype(np.float64),
+            src_depth, K.astype(np.float64), Es[1].astype(np.float64), cfg,
+        )
+        level_np = np.stack([m.astype(np.int32) for m in masks])
+        loose_np = masks[-1].astype(np.int32)
+
+        level_c = np.zeros_like(level_np)
+        loose_c = np.zeros_like(loose_np)
+        reproj_c = np.zeros_like(reproj)
+        fuse_pair_native(ref_depth, K, Es[0], src_depth, K, Es[1],
+                         level_c, loose_c, reproj_c)
+
+        # mask agreement (tiny bilinear rounding differences allowed at
+        # threshold boundaries)
+        agree = (level_c == level_np).mean()
+        assert agree > 0.999, agree
+        both = (loose_c > 0) & (loose_np > 0)
+        np.testing.assert_allclose(reproj_c[both], reproj[both], rtol=1e-4)
+
+    def test_fuse_scan_native_matches_python(self, tmp_path):
+        from aa_rmvsnet_tpu.pipeline import native as native_mod
+        from aa_rmvsnet_tpu.core.ply import read_ply
+
+        if not native_mod.available():
+            pytest.skip("no C++ toolchain")
+        scene, gt, K, Es = make_plane_scene(tmp_path, H=64, W=80, num_views=4)
+        out_dir = os.path.join(tmp_path, "out", "scan1")
+        for v in range(4):
+            write_prediction(out_dir, v, gt, np.full_like(gt, 0.9))
+        n_native = fuse_scan(scene, out_dir, os.path.join(tmp_path, "a.ply"),
+                             FuseConfig(num_workers=2, use_native=True))
+        n_python = fuse_scan(scene, out_dir, os.path.join(tmp_path, "b.ply"),
+                             FuseConfig(num_workers=2, use_native=False))
+        assert abs(n_native - n_python) <= 0.01 * max(n_native, n_python)
+        xa, _ = read_ply(os.path.join(tmp_path, "a.ply"))
+        np.testing.assert_allclose(np.median(xa[:, 2]), 500.0, atol=1.0)

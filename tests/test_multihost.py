@@ -1,0 +1,55 @@
+"""Multi-host (multi-process) distributed training test.
+
+Spawns two real OS processes, each contributing 4 virtual CPU devices to a
+shared jax.distributed cluster (the DCN-analog path), and runs one sharded
+training step.  The losses printed by both workers must agree — the
+gradient all-reduce and loss computation cross the process boundary.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_training_step():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "multihost_worker.py"),
+             str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+
+    losses = []
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith(f"WORKER {pid} OK")]
+        assert line, out[-2000:]
+        losses.append(float(line[0].split("loss=")[1]))
+
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)

@@ -32,7 +32,11 @@ from .feature import FeatNet
 from .aggregation import InterViewAA
 from .regularizer import UNetConvLSTM, init_states
 from ..ops.homography import homography_terms, plane_sweep_xy
-from ..ops.patch_sample import build_patch_table, patch_bilinear_sample
+from ..ops.patch_sample import (
+    build_patch_table,
+    build_patch_table_quant,
+    patch_bilinear_sample,
+)
 
 
 class AARMVSNetCore(nn.Module):
@@ -84,12 +88,18 @@ class SweepConfig:
       volume (needed for the training softmax / evidential head).
     feature_dtype: dtype for features and cost math (bfloat16 halves HBM
       traffic at matched quality; fp32 for strict parity).
+    table_dtype: storage dtype for the warp patch tables.  The warp gather
+      is the dominant HBM stream of the sweep; ``jnp.float8_e4m3fn`` halves
+      it (per-channel-scaled quantization, see
+      ``ops.patch_sample.build_patch_table_quant``).  ``None`` stores the
+      tables in ``feature_dtype`` (exact).
     """
 
     depth_block: int = 16
     remat: bool = False
     collect_volume: bool = True
     feature_dtype: Any = jnp.float32
+    table_dtype: Any = None
 
 
 def pick_depth_block(num_depth: int, target: int) -> int:
@@ -129,6 +139,7 @@ def _build_cost_block(
     rot_grids: jnp.ndarray,
     transes: jnp.ndarray,
     depth_block: jnp.ndarray,
+    table_scales: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Warp + squared residual + omega reweight + view mean for one block.
 
@@ -138,6 +149,8 @@ def _build_cost_block(
         (:func:`build_patch_table`) — one 128-lane gather row per sample.
       rot_grids: ``(S, B, 3, H*W)``; transes: ``(S, B, 3, 1)``.
       depth_block: ``(B, Db)``.
+      table_scales: ``(S, B, 1, 4C)`` dequantization factors when the tables
+        are fp8-quantized (``build_patch_table_quant``), else None.
 
     Returns:
       ``(Db, B, H, W, C)`` negated variance cost slices (regularizer input).
@@ -146,12 +159,21 @@ def _build_cost_block(
     _, H, W, C = ref_feat.shape
     Db = depth_block.shape[1]
 
-    def warp_one_view(table, rot_grid, trans):
+    def warp_one_view(table, rot_grid, trans, scale):
         x, y = plane_sweep_xy(rot_grid, trans, depth_block)  # (B, Db, H*W)
-        out = patch_bilinear_sample(table, x.reshape(B, -1), y.reshape(B, -1), H, W)
+        out = patch_bilinear_sample(
+            table, x.reshape(B, -1), y.reshape(B, -1), H, W,
+            scale=scale, compute_dtype=ref_feat.dtype,
+        )
         return out.reshape(B, Db, H, W, C)
 
-    warped = jax.vmap(warp_one_view)(src_tables, rot_grids, transes)  # (S,B,Db,H,W,C)
+    if table_scales is None:
+        warp = lambda t, r, tr: warp_one_view(t, r, tr, None)
+        warped = jax.vmap(warp)(src_tables, rot_grids, transes)
+    else:
+        warped = jax.vmap(warp_one_view)(
+            src_tables, rot_grids, transes, table_scales
+        )  # (S,B,Db,H,W,C)
     residual_sq = (warped - ref_feat[None, :, None]) ** 2
 
     # Batch omega over (B, S, Db) with the data-sharded B axis OUTERMOST in
@@ -207,8 +229,15 @@ def sweep(
         )
     ref_feat, src_feats = features[0], features[1:]
     # One patch table per source view: each warp sample becomes a single
-    # 128-lane gather row (see ops/patch_sample.py).
-    src_tables = jax.vmap(build_patch_table)(src_feats)
+    # 128-lane gather row (see ops/patch_sample.py).  Optionally stored in
+    # fp8 with per-channel scales — half the bytes on the dominant stream.
+    if config.table_dtype is not None and config.table_dtype != dtype:
+        src_tables, table_scales = jax.vmap(
+            lambda f: build_patch_table_quant(f, config.table_dtype)
+        )(src_feats)
+    else:
+        src_tables = jax.vmap(build_patch_table)(src_feats)
+        table_scales = None
 
     ref_proj = proj_matrices[:, 0]
     src_projs = proj_matrices[:, 1:].transpose(1, 0, 2, 3)  # (S, B, 4, 4)
@@ -233,7 +262,8 @@ def sweep(
     def block_step(carry, depth_block_values):
         states, depth_img, max_cost, lse = carry
         cost_block = _build_cost_block(
-            params, ref_feat, src_tables, rot_grids, transes, depth_block_values
+            params, ref_feat, src_tables, rot_grids, transes,
+            depth_block_values, table_scales,
         )
         states, costs = regularize_block(states, cost_block)  # costs (block,B,H,W)
         costs = costs.astype(jnp.float32)

@@ -24,6 +24,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+#: max finite magnitude of float8_e4m3fn — quantization scales map each
+#: channel's abs-max onto this.
+_F8_MAX = 448.0
+
 
 def build_patch_table(feat: jnp.ndarray) -> jnp.ndarray:
     """Precompute the 2x2-neighborhood table for a feature map.
@@ -50,31 +54,71 @@ def build_patch_table(feat: jnp.ndarray) -> jnp.ndarray:
     return table.reshape(B, H * W, 4 * C)
 
 
+def build_patch_table_quant(feat: jnp.ndarray, dtype=jnp.float8_e4m3fn):
+    """Quantized patch table: half (vs bf16) the gather bytes per sample.
+
+    The warp gather is HBM-bandwidth-bound (BENCHMARKS.md), so storing the
+    table in fp8 directly halves the dominant byte stream of the cost-volume
+    build.  e4m3 has 3 mantissa bits; to spend them on each channel's own
+    dynamic range we quantize with a **per-channel scale** (abs-max over
+    H, W mapped onto the fp8 max) and dequantize after the gather — one
+    lane-wise multiply on the gathered row.
+
+    Args:
+      feat: ``(B, H, W, C)`` feature map (any float dtype).
+
+    Returns:
+      ``(table, scale)``: ``table`` is ``(B, H*W, 4C)`` in ``dtype``;
+      ``scale`` is ``(B, 1, 4C)`` fp32 dequantization factors (the
+      per-channel scale tiled over the 4 patch corners), for the ``scale=``
+      argument of :func:`patch_bilinear_sample`.
+    """
+    B, H, W, C = feat.shape
+    feat32 = feat.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(feat32), axis=(1, 2), keepdims=True)  # (B,1,1,C)
+    scale = jnp.maximum(amax / _F8_MAX, 1e-12)
+    q = (feat32 / scale).astype(dtype)
+    table = build_patch_table(q)
+    return table, jnp.tile(scale.reshape(B, 1, C), (1, 1, 4))
+
+
 def patch_bilinear_sample(
     table: jnp.ndarray,
     x: jnp.ndarray,
     y: jnp.ndarray,
     height: int,
     width: int,
+    scale: jnp.ndarray | None = None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Bilinear-sample using a precomputed patch table.
 
     Args:
-      table: ``(B, H*W, 4C)`` from :func:`build_patch_table`.
+      table: ``(B, H*W, 4C)`` from :func:`build_patch_table` (or the
+        quantized variant).
       x, y: ``(B, N)`` fractional pixel coordinates (fp32).
       height, width: source image size (table geometry).
+      scale: optional ``(B, 1, 4C)`` dequantization factors from
+        :func:`build_patch_table_quant`.
+      compute_dtype: dtype of the blend & output; defaults to the table
+        dtype (required when the table is fp8 — fp8 arithmetic is
+        storage-only).
 
     Returns:
-      ``(B, N, C)`` samples in the table's dtype; zero where out of bounds.
+      ``(B, N, C)`` samples in ``compute_dtype``; zero where out of bounds.
     """
     B, HW, C4 = table.shape
     C = C4 // 4
+    out_dtype = compute_dtype or table.dtype
 
     xb = jnp.clip(jnp.floor(x), 0, width - 1)
     yb = jnp.clip(jnp.floor(y), 0, height - 1)
     idx = (yb * width + xb).astype(jnp.int32)
 
     rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, N, 4C)
+    rows = rows.astype(out_dtype)
+    if scale is not None:
+        rows = rows * scale.astype(out_dtype)
 
     tent = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
     tx0, tx1 = tent(x - xb), tent(x - (xb + 1.0))
@@ -82,4 +126,4 @@ def patch_bilinear_sample(
     w4 = jnp.stack([ty0 * tx0, ty0 * tx1, ty1 * tx0, ty1 * tx1], axis=-1)
 
     patches = rows.reshape(B, -1, 4, C)
-    return jnp.sum(patches * w4.astype(table.dtype)[..., None], axis=2)
+    return jnp.sum(patches * w4.astype(out_dtype)[..., None], axis=2)

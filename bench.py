@@ -25,7 +25,9 @@ the tunnel host, not the framework's ceiling on real hardware.
 
 Flags via env:
   BENCH_SIZE=HxW (default 864x1152), BENCH_DEPTH (512), BENCH_VIEWS (5),
-  BENCH_BLOCK (8), BENCH_ITERS (4), BENCH_DTYPE (bfloat16|float32)
+  BENCH_BLOCK (8), BENCH_ITERS (4), BENCH_DTYPE (bfloat16|float32),
+  BENCH_TABLE_DTYPE (fp8|none, default fp8: fp8-quantized warp tables —
+  half the bytes on the dominant gather stream, see ops/patch_sample.py)
 """
 
 from __future__ import annotations
@@ -56,6 +58,11 @@ def main():
     block = int(os.environ.get("BENCH_BLOCK", 8))
     iters = int(os.environ.get("BENCH_ITERS", 4))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+    table_dtype = (
+        jnp.float8_e4m3fn
+        if os.environ.get("BENCH_TABLE_DTYPE", "fp8") == "fp8"
+        else None
+    )
 
     ckpt = "/root/reference/checkpoints/model_dtu_v2.ckpt"
     if os.path.exists(ckpt):
@@ -76,7 +83,10 @@ def main():
     proj = np.stack(projs)[None]
     depths = np.linspace(425.0, 933.8, D, dtype=np.float32)[None]
 
-    config = SweepConfig(depth_block=block, collect_volume=False, feature_dtype=dtype)
+    config = SweepConfig(
+        depth_block=block, collect_volume=False, feature_dtype=dtype,
+        table_dtype=table_dtype,
+    )
 
     @jax.jit
     def run(params, imgs, proj, depths):

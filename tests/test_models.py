@@ -250,6 +250,39 @@ class TestFullNetworkParity:
             atol=1e-4,
         )
 
+    def test_fp8_table_sweep_matches_fp32(self, params):
+        """The fp8-quantized warp-table perf path must track the exact sweep:
+        depths agree to within one hypothesis bin almost everywhere and the
+        probability volumes stay close (per-channel-scaled e4m3 keeps ~3
+        mantissa bits on each channel's own range)."""
+        imgs, proj, depths = _random_scene(seed=3)
+        exact = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                        jnp.asarray(depths), SweepConfig(depth_block=4))
+        quant = forward(
+            params, jnp.asarray(imgs), jnp.asarray(proj), jnp.asarray(depths),
+            SweepConfig(depth_block=4, table_dtype=jnp.float8_e4m3fn),
+        )
+        bin_w = float(depths[0, 1] - depths[0, 0])
+        d_exact = np.asarray(exact["depth"])
+        d_quant = np.asarray(quant["depth"])
+        within_one_bin = np.abs(d_exact - d_quant) <= bin_w + 1e-6
+        assert within_one_bin.mean() >= 0.90, within_one_bin.mean()
+
+        # Random-noise inputs are the worst case for WTA stability (no depth
+        # structure -> near-flat cost curves).  The invariant that must hold:
+        # fp8 may only flip NEAR-TIES — wherever the chosen depth differs,
+        # the exact path's winning probability margin over the bin fp8 chose
+        # must be tiny.
+        p_exact = np.asarray(probability_volume(exact["cost_volume"]))
+        p_quant = np.asarray(probability_volume(quant["cost_volume"]))
+        assert np.abs(p_exact - p_quant).max() < 0.05
+        i_exact = p_exact.argmax(axis=1)
+        i_quant = p_quant.argmax(axis=1)
+        top = np.take_along_axis(p_exact, i_exact[:, None], axis=1)[:, 0]
+        at_quant = np.take_along_axis(p_exact, i_quant[:, None], axis=1)[:, 0]
+        margins = np.where(~within_one_bin, top - at_quant, 0.0)
+        assert margins.max() < 0.02, margins.max()
+
     def test_depth_block_size_invariance(self, params):
         """The blocked sweep must be exactly invariant to block size."""
         imgs, proj, depths = _random_scene(seed=2)

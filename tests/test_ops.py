@@ -211,6 +211,41 @@ class TestPatchSample:
         )
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
+    def test_quantized_table_error_bound(self):
+        """fp8 e4m3 with per-channel scales: relative error per texel is
+        bounded by half the e4m3 quantum (2^-4 of the channel max); the
+        bilinear blend is a convex combination, so the same bound holds on
+        every sample."""
+        from aa_rmvsnet_tpu.ops.patch_sample import (
+            build_patch_table,
+            build_patch_table_quant,
+            patch_bilinear_sample,
+        )
+
+        B, H, W, C = 2, 13, 17, 5
+        feat = rand(B, H, W, C, seed=23)
+        rng = np.random.RandomState(24)
+        x = (rng.rand(B, 300) * (W + 8) - 4).astype(np.float32)
+        y = (rng.rand(B, 300) * (H + 8) - 4).astype(np.float32)
+
+        table, scale = build_patch_table_quant(jnp.asarray(feat))
+        assert table.dtype == jnp.float8_e4m3fn
+        quant = np.asarray(
+            patch_bilinear_sample(
+                table, jnp.asarray(x), jnp.asarray(y), H, W,
+                scale=scale, compute_dtype=jnp.float32,
+            )
+        )
+        exact = np.asarray(
+            patch_bilinear_sample(
+                build_patch_table(jnp.asarray(feat)),
+                jnp.asarray(x), jnp.asarray(y), H, W,
+            )
+        )
+        ch_max = np.abs(feat).max(axis=(1, 2))  # (B, C)
+        bound = (2.0 ** -4) * ch_max[:, None, :] + 1e-6
+        assert np.all(np.abs(quant - exact) <= bound)
+
     def test_integer_coords_identity(self):
         from aa_rmvsnet_tpu.ops.patch_sample import build_patch_table, patch_bilinear_sample
 

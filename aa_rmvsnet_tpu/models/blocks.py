@@ -107,16 +107,25 @@ class DeconvGNReLU(nn.Module):
 
 class ConvLSTMCell(nn.Module):
     """Convolutional LSTM cell: one 3x3 conv over concat(x, h) producing the
-    four gates (reference module.py:40-92)."""
+    four gates (reference module.py:40-92).
+
+    With ``AA_RMVSNET_PALLAS=1`` the elementwise gate math runs through the
+    fused 128-lane Pallas kernel (:mod:`aa_rmvsnet_tpu.ops.pallas.gates`)
+    instead of the XLA-fused chain.
+    """
 
     hidden: int
 
     @nn.compact
     def __call__(self, x, state):
+        from ..ops.pallas.gates import fused_lstm_gates, pallas_gates_enabled
+
         h, c = state
         z = nn.Conv(
             4 * self.hidden, (3, 3), padding=((1, 1), (1, 1)), name="conv"
         )(jnp.concatenate([x, h], axis=-1))
+        if pallas_gates_enabled():
+            return fused_lstm_gates(z, c)
         i, f, o, g = jnp.split(z, 4, axis=-1)
         c_next = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
         h_next = nn.sigmoid(o) * jnp.tanh(c_next)

@@ -1,10 +1,24 @@
 """Inter-view adaptive aggregation ("omega"): a tiny pixel-wise reweighting
 network applied to each warped residual volume, producing a sigmoid weight
 map used as ``(omega + 1) * residual`` (reference: models/drmvsnet.py:27-38,
-applied at drmvsnet.py:279-283)."""
+applied at drmvsnet.py:279-283).
+
+Two equivalent execution forms:
+
+- :class:`InterViewAA` — the canonical flax module on an ``(N, H, W, 32)``
+  batch.  Its hidden width is 4 channels, which TPU tiling pads to 128
+  lanes: every materialized intermediate costs 32x its real bytes in HBM.
+- :func:`omega_folded` — the same parameters applied as grouped convs with
+  ``G`` residual volumes folded into the channel axis (``(N/G, H, W,
+  G*32)``), so intermediates carry ``G*4`` channels and the lane padding
+  shrinks by ``G``x.  Numerically identical (tiled weights, per-group
+  normalization); parity-tested in ``tests/test_models.py``.
+"""
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import ConvGNReLU, ResnetBlockGN
@@ -17,3 +31,61 @@ class InterViewAA(nn.Module):
         x = ResnetBlockGN(4, kernel=1, name="rw1")(x)
         x = nn.Conv(1, (1, 1), name="rw2")(x)
         return nn.sigmoid(x)
+
+
+def _group_norm_folded(x, scale, bias, groups: int, channels: int, eps=1e-5):
+    """GroupNorm(num_groups=1 per volume) on a G-folded channel axis: stats
+    are per (image, folded-volume) over (H, W, channels)."""
+    N, H, W, _ = x.shape
+    g = x.reshape(N, H, W, groups, channels)
+    x32 = g.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 4), keepdims=True)
+    norm = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    scale = scale.astype(x.dtype).reshape(groups, channels)
+    bias = bias.astype(x.dtype).reshape(groups, channels)
+    return (norm * scale + bias).reshape(N, H, W, groups * channels)
+
+
+def omega_folded(params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Apply the omega network with ``groups`` volumes folded into channels.
+
+    Args:
+      params: the ``omega`` parameter subtree (as produced by
+        ``AARMVSNetCore`` init / the checkpoint converter).
+      x: ``(N, H, W, groups*32)`` folded residual volumes.
+      groups: number of folded volumes G.
+
+    Returns:
+      ``(N, H, W, groups)`` sigmoid weight maps (one channel per volume).
+    """
+    dtype = x.dtype
+    tile_out = lambda k: jnp.tile(k.astype(dtype), (1, 1, 1, groups))
+    tile_vec = lambda v: jnp.tile(v.astype(dtype), (groups,))
+
+    def conv(x, kernel, bias, pad):
+        y = jax.lax.conv_general_dilated(
+            x, tile_out(kernel), (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+        return y + tile_vec(bias)
+
+    rw0, rw1, rw2 = params["rw0"], params["rw1"], params["rw2"]
+
+    y = conv(x, rw0["conv"]["kernel"], rw0["conv"]["bias"], pad=1)
+    y = _group_norm_folded(y, tile_vec(rw0["gn"]["scale"]),
+                           tile_vec(rw0["gn"]["bias"]), groups, 4)
+    y = nn.relu(y)
+
+    z = conv(y, rw1["stem0"]["conv"]["kernel"], rw1["stem0"]["conv"]["bias"], pad=0)
+    z = _group_norm_folded(z, tile_vec(rw1["stem0"]["gn"]["scale"]),
+                           tile_vec(rw1["stem0"]["gn"]["bias"]), groups, 4)
+    z = nn.relu(z)
+    z = conv(z, rw1["stem1"]["kernel"], rw1["stem1"]["bias"], pad=0)
+    z = _group_norm_folded(z, tile_vec(rw1["gn"]["scale"]),
+                           tile_vec(rw1["gn"]["bias"]), groups, 4)
+    y = nn.relu(z + y)
+
+    w = conv(y, rw2["kernel"], rw2["bias"], pad=0)
+    return nn.sigmoid(w)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .feature import FeatNet
-from .aggregation import InterViewAA
+from .aggregation import InterViewAA, omega_folded
 from .regularizer import UNetConvLSTM, init_states
 from ..ops.homography import homography_terms, plane_sweep_xy
 from ..ops.patch_sample import (
@@ -83,6 +83,12 @@ class SweepConfig:
 
     depth_block: hypotheses per scan step (cost build is parallel inside a
       block).  Must divide D; ``pick_depth_block`` helps choose.
+    fold_omega: build the cost block in a depth-folded channel layout
+      (``(..., Db*32)``): the warp gathers emit pixel-major rows, omega runs
+      as grouped convs (:func:`..models.aggregation.omega_folded`), and the
+      variance reduces in the folded layout.  Removes the 4x lane padding on
+      the residual volumes and the 32x padding on omega's 4-channel
+      intermediates.  Numerically identical to the unfolded path.
     remat: rematerialize each block in the backward pass (training).
     collect_volume: also return the full (B, D, H, W) regularized cost
       volume (needed for the training softmax / evidential head).
@@ -100,6 +106,7 @@ class SweepConfig:
     collect_volume: bool = True
     feature_dtype: Any = jnp.float32
     table_dtype: Any = None
+    fold_omega: bool = False
 
 
 def pick_depth_block(num_depth: int, target: int) -> int:
@@ -189,6 +196,55 @@ def _build_cost_block(
     return -variance.transpose(1, 0, 2, 3, 4)
 
 
+def _build_cost_block_folded(
+    params,
+    ref_feat: jnp.ndarray,
+    src_tables: jnp.ndarray,
+    rot_grids: jnp.ndarray,
+    transes: jnp.ndarray,
+    depth_block: jnp.ndarray,
+    table_scales: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Depth-folded variant of :func:`_build_cost_block`.
+
+    Every intermediate keeps a ``Db*32``-lane channel axis: the warp gather
+    emits rows in pixel-major order so its output reshapes directly to
+    ``(B, H, W, Db*C)`` (no lane padding for Db >= 4), and omega runs as a
+    ``Db``-grouped conv whose hidden width is ``Db*4`` lanes instead of 4
+    (32x lane padding -> 32/Db x).  Same math, same result.
+    """
+    S, B, HW, C4 = src_tables.shape
+    _, H, W, C = ref_feat.shape
+    Db = depth_block.shape[1]
+
+    def warp_one_view(table, rot_grid, trans, scale):
+        x, y = plane_sweep_xy(rot_grid, trans, depth_block)  # (B, Db, H*W)
+        xt = x.transpose(0, 2, 1).reshape(B, -1)  # pixel-major (B, H*W*Db)
+        yt = y.transpose(0, 2, 1).reshape(B, -1)
+        out = patch_bilinear_sample(
+            table, xt, yt, H, W, scale=scale, compute_dtype=ref_feat.dtype
+        )  # (B, H*W*Db, C)
+        return out.reshape(B, H, W, Db * C)
+
+    if table_scales is None:
+        warped = jax.vmap(lambda t, r, tr: warp_one_view(t, r, tr, None))(
+            src_tables, rot_grids, transes
+        )
+    else:
+        warped = jax.vmap(warp_one_view)(src_tables, rot_grids, transes, table_scales)
+
+    ref_tiled = jnp.tile(ref_feat, (1, 1, 1, Db))  # (B, H, W, Db*C)
+    residual_sq = (warped - ref_tiled[None]) ** 2  # (S, B, H, W, Db*C)
+
+    flat = residual_sq.transpose(1, 0, 2, 3, 4).reshape(B * S, H, W, Db * C)
+    weights = omega_folded(params["params"]["omega"], flat, Db)  # (B*S,H,W,Db)
+    weights = weights.reshape(B, S, H, W, Db).transpose(1, 0, 2, 3, 4)
+
+    r6 = residual_sq.reshape(S, B, H, W, Db, C)
+    variance = jnp.sum((weights[..., None] + 1.0) * r6, axis=0) / S  # (B,H,W,Db,C)
+    return -variance.transpose(3, 0, 1, 2, 4)  # (Db, B, H, W, C)
+
+
 def sweep(
     params,
     features: jnp.ndarray,
@@ -259,9 +315,11 @@ def sweep(
 
         return jax.lax.scan(body, states, cost_block)
 
+    build = _build_cost_block_folded if config.fold_omega else _build_cost_block
+
     def block_step(carry, depth_block_values):
         states, depth_img, max_cost, lse = carry
-        cost_block = _build_cost_block(
+        cost_block = build(
             params, ref_feat, src_tables, rot_grids, transes,
             depth_block_values, table_scales,
         )

@@ -94,13 +94,17 @@ def deform_conv(
     # every clamped-out position lands on zero texels either way.
     table = build_patch_table(x_pad)
 
+    # Tap geometry in fp32 regardless of compute dtype: at H > 256 the base
+    # row positions are not representable in bf16 (integer step 2-4), which
+    # would shift every sample near the image bottom by pixels.
     K = 9
-    rows = jnp.arange(1, H + 1, dtype=offset.dtype)
-    cols = jnp.arange(1, W + 1, dtype=offset.dtype)
-    dr = jnp.repeat(jnp.arange(-1, 2, dtype=offset.dtype), 3)
-    dc = jnp.tile(jnp.arange(-1, 2, dtype=offset.dtype), 3)
-    p_r = rows[None, :, None, None] + dr + offset[..., :K]  # (B, H, W, 9)
-    p_c = cols[None, None, :, None] + dc + offset[..., K:]
+    offset32 = offset.astype(jnp.float32)
+    rows = jnp.arange(1, H + 1, dtype=jnp.float32)
+    cols = jnp.arange(1, W + 1, dtype=jnp.float32)
+    dr = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)
+    dc = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)
+    p_r = rows[None, :, None, None] + dr + offset32[..., :K]  # (B, H, W, 9)
+    p_c = cols[None, None, :, None] + dc + offset32[..., K:]
 
     w_kernel = kernel.reshape(9, C, O)
     out = jnp.zeros((B, H, W, O), x.dtype)

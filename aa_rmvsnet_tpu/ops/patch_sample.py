@@ -111,6 +111,11 @@ def patch_bilinear_sample(
     C = C4 // 4
     out_dtype = compute_dtype or table.dtype
 
+    # Coordinate / index math MUST be fp32: bf16 integers step by 2 above
+    # 256 and by 4 above 512, so low-precision coordinates silently gather
+    # the wrong row (or out of bounds) on any image taller than 256 px.
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     xb = jnp.clip(jnp.floor(x), 0, width - 1)
     yb = jnp.clip(jnp.floor(y), 0, height - 1)
     idx = (yb * width + xb).astype(jnp.int32)

@@ -299,3 +299,30 @@ class TestFullNetworkParity:
                 np.asarray(outs[0]["cost_volume"]),
                 np.asarray(other["cost_volume"]), atol=1e-5,
             )
+
+
+class TestOmegaFolded:
+    def test_matches_module_for_all_group_sizes(self):
+        """omega_folded (grouped-conv channel folding, G-x less lane padding
+        on the 4-ch intermediates) is numerically identical to InterViewAA."""
+        from aa_rmvsnet_tpu.models.aggregation import InterViewAA, omega_folded
+
+        rng = jax.random.PRNGKey(0)
+        m = InterViewAA()
+        x = jax.random.normal(rng, (8, 16, 20, 32))
+        p = m.init(rng, x)
+        ref = np.asarray(m.apply(p, x))
+
+        for G in (1, 2, 4, 8):
+            xf = (
+                x.reshape(8 // G, G, 16, 20, 32)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(8 // G, 16, 20, G * 32)
+            )
+            wf = omega_folded(p["params"], xf, G)
+            back = np.asarray(
+                wf.reshape(8 // G, 16, 20, G, 1)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(8, 16, 20, 1)
+            )
+            np.testing.assert_allclose(back, ref, atol=1e-5)

@@ -1,12 +1,14 @@
 """Command-line entry points: ``python -m aa_rmvsnet_tpu.cli <cmd>``.
 
 Subcommands mirror the reference's three executables (train.py, eval.py,
-fusion.py) plus checkpoint conversion:
+fusion.py) plus checkpoint conversion and offline analytics:
 
-  eval     generate depth/confidence maps for a scene list
+  eval     generate depth/confidence(/uncertainty) maps for a scene list
   fuse     filter + fuse depth maps into PLY point clouds
-  train    train the core network on DTU
+  train    train the core network on DTU (``--evidential`` adds the NIG head)
   convert  torch .ckpt -> orbax params directory
+  analyze  offline uncertainty analytics over a train logdir's dumps
+  quality  point-cloud accuracy/completeness vs a ground-truth cloud
 """
 
 from __future__ import annotations
@@ -29,6 +31,13 @@ def _add_eval(sub):
     p.add_argument("--max_w", type=int)
     p.add_argument("--depth_block", type=int)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--evidential_ckpt",
+                   help="evidential head weights (torch .ckpt or orbax dir); "
+                        "writes epistemic_0/aleatoric_0 maps (reference eval.py:129-169)")
+    p.add_argument("--depth_source", choices=["wta", "evidential"],
+                   help="depth map source; defaults to 'evidential' when "
+                        "--evidential_ckpt is given, else the core WTA depth")
+    p.add_argument("--save_png", action="store_true", help="PNG previews")
     return p
 
 
@@ -52,7 +61,8 @@ def _add_train(sub):
     p.add_argument("--vallist")
     p.add_argument("--logdir", default="checkpoints_tpu")
     p.add_argument("--epochs", type=int, default=10)
-    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="PER-PROCESS batch size (global = this x num_processes)")
     p.add_argument("--view_num", type=int, default=5)
     p.add_argument("--numdepth", type=int, default=128)
     p.add_argument("--interval_scale", type=float, default=1.06)
@@ -61,6 +71,57 @@ def _add_train(sub):
     p.add_argument("--loadckpt")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max_steps", type=int, help="early stop (smoke tests)")
+    p.add_argument("--summary_freq", type=int, default=20)
+    p.add_argument("--num_workers", type=int, default=8)
+    # Evidential (NIG) head training — the fork's production loss
+    # (reference train.py:120-121, 234-237).
+    p.add_argument("--evidential", action="store_true",
+                   help="attach the evidential head and train with loss_emvsnet")
+    p.add_argument("--head_ckpt",
+                   help="warm-start head weights (torch .ckpt or orbax dir)")
+    p.add_argument("--maxdisp", type=int, default=32)
+    # Multi-chip / multi-host: build a (data, spatial) mesh over all global
+    # devices; new TPU-native scope (the reference is single-GPU, SURVEY §2.2).
+    p.add_argument("--coordinator", help="host:port of process 0 (multi-host)")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--spatial", type=int, default=1,
+                   help="spatial (height) mesh axis size; data axis = "
+                        "num_devices / spatial")
+    p.add_argument("--single_device", action="store_true",
+                   help="skip mesh construction even with multiple devices")
+    return p
+
+
+def _add_convert(sub):
+    p = sub.add_parser("convert", help="torch .ckpt -> orbax params directory")
+    p.add_argument("--ckpt", required=True, help="reference torch .ckpt")
+    p.add_argument("--out", required=True, help="output orbax directory")
+    p.add_argument("--evidential", action="store_true",
+                   help="convert the evidential.* head tensors instead of the core")
+    return p
+
+
+def _add_analyze(sub):
+    p = sub.add_parser("analyze", help="offline uncertainty analytics over "
+                                       "a train logdir's .npz dumps")
+    p.add_argument("--logdir", required=True)
+    p.add_argument("--mode", default="train", choices=["train", "fulltest"])
+    p.add_argument("--out", help="report directory (default <logdir>/analysis)")
+    p.add_argument("--error_threshold", type=float, default=2.0,
+                   help="depth-error threshold (mm) for ROC/PR labels")
+    return p
+
+
+def _add_quality(sub):
+    p = sub.add_parser("quality", help="accuracy/completeness of a fused PLY "
+                                       "vs a ground-truth point cloud")
+    p.add_argument("--ply", required=True, help="predicted point cloud (.ply)")
+    p.add_argument("--gt", required=True, help="ground-truth point cloud (.ply)")
+    p.add_argument("--max_dist", type=float, default=20.0,
+                   help="outlier clamp distance (DTU convention: 20 mm)")
+    p.add_argument("--downsample", type=float, default=0.2,
+                   help="voxel size for pre-filter downsampling (0 = off)")
     return p
 
 
@@ -69,6 +130,28 @@ def _load_params(path: str):
 
     if path.endswith(".ckpt"):
         return load_torch_checkpoint(path)
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+
+
+def _load_evidential(path: str):
+    """Load evidential-head variables from a torch .ckpt (``evidential.*``
+    keys, reference eval.py:87-98) or an orbax directory."""
+    if path.endswith(".ckpt"):
+        import torch
+
+        from .models.convert import convert_evidential_state_dict
+
+        payload = torch.load(path, map_location="cpu", weights_only=True)
+        state = payload["model"] if "model" in payload else payload
+        arrays = {k: v.numpy() for k, v in state.items()}
+        # A full-model checkpoint carries core tensors too; keep the head's.
+        head_only = {
+            k: v for k, v in arrays.items()
+            if k.removeprefix("module.").startswith("evidential.")
+        }
+        return convert_evidential_state_dict(head_only or arrays)
     import orbax.checkpoint as ocp
 
     return ocp.StandardCheckpointer().restore(os.path.abspath(path))
@@ -97,11 +180,19 @@ def cmd_eval(args):
         max_h=cfg.max_h, max_w=cfg.max_w, pad_vertical=cfg.pad_vertical,
     )
     params = _load_params(args.loadckpt)
+    ev_params = _load_evidential(args.evidential_ckpt) if args.evidential_ckpt else None
+    depth_source = args.depth_source or (
+        "evidential" if ev_params is not None else "wta"
+    )
+    if depth_source == "evidential" and ev_params is None:
+        raise SystemExit("--depth_source evidential requires --evidential_ckpt")
     stats = run_inference(
         params, ds,
         InferConfig(
             out_root=args.outdir, depth_block=cfg.depth_block,
             feature_dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+            depth_source=depth_source, evidential_params=ev_params,
+            save_png_previews=args.save_png,
         ),
     )
     print(f"eval done: {stats['count']} maps, {stats['maps_per_s']:.3f} maps/s")
@@ -135,6 +226,15 @@ def cmd_fuse(args):
 
 
 def cmd_train(args):
+    from .parallel.mesh import (
+        initialize_distributed, make_mesh, replicated, form_global_batch,
+    )
+
+    # Must run before the first device query (multi-host no-op otherwise).
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+
+    import itertools
+
     import jax
     import numpy as np
 
@@ -142,11 +242,17 @@ def cmd_train(args):
     from .data.loader import prefetch_samples, batched
     from .models.network import init_params
     from .models.convert import load_torch_checkpoint
-    from .pipeline.train import TrainConfig, make_optimizer, make_train_step, make_eval_step
+    from .pipeline.train import (
+        TrainConfig, make_optimizer, make_train_step, make_eval_step,
+        make_evidential_state, make_evidential_train_step,
+        make_evidential_eval_step,
+    )
     from .pipeline.checkpoint import make_manager, save_state, restore_latest
     from .utils.metrics import MeterDict
-
     from .utils.logging import TrainLogger
+
+    nproc = jax.process_count()
+    is_main = jax.process_index() == 0
 
     ds = DTUTrainDataset(
         args.trainpath, args.trainlist, nviews=args.view_num,
@@ -160,71 +266,232 @@ def cmd_train(args):
             ndepths=args.numdepth, interval_scale=args.interval_scale,
             image_scale=args.image_scale, light_idx=3, both=False,
         )
-    logger = TrainLogger(args.logdir)
-    steps_per_epoch = max(len(ds) // args.batch_size, 1)
+    # Per-host meta shards; every host must run the same number of steps per
+    # epoch, so steps_per_epoch uses the GLOBAL length floor-divided first.
+    full_len, full_val_len = len(ds), len(val_ds) if val_ds else 0
+    if nproc > 1:
+        ds = ds.shard(jax.process_index(), nproc)
+        if val_ds is not None:
+            val_ds = val_ds.shard(jax.process_index(), nproc)
+    steps_per_epoch = max((full_len // nproc) // args.batch_size, 1)
+    val_steps = (full_val_len // nproc) // args.batch_size
+
+    mesh = None
+    if not args.single_device and (len(jax.devices()) > 1 or args.spatial > 1):
+        global_batch = args.batch_size * nproc
+        data_size = len(jax.devices()) // args.spatial
+        if global_batch % data_size == 0:
+            mesh = make_mesh(spatial=args.spatial)
+            if is_main:
+                print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} "
+                      f"devices, global batch {global_batch}", flush=True)
+        elif args.spatial > 1 or nproc > 1:
+            raise SystemExit(
+                f"global batch {global_batch} (= {args.batch_size} x {nproc} "
+                f"processes) must be divisible by the data mesh axis "
+                f"({data_size} = {len(jax.devices())} devices / spatial "
+                f"{args.spatial})"
+            )
+        elif is_main:
+            print(f"note: global batch {global_batch} not divisible by "
+                  f"{data_size} devices; running single-device (pass "
+                  f"--spatial/--batch_size to shard)", flush=True)
+
+    logger = TrainLogger(args.logdir) if is_main else None
     config = TrainConfig(
         learning_rate=args.lr, total_steps=args.epochs * steps_per_epoch,
+        evidential=args.evidential, maxdisp=args.maxdisp,
     )
     tx = make_optimizer(config)
     if args.loadckpt:
         params = load_torch_checkpoint(args.loadckpt)
     else:
         params = init_params(jax.random.PRNGKey(0))
-    opt_state = tx.init(params)
-    step_fn = make_train_step(config, tx)
-    eval_fn = make_eval_step(config)
+
+    if args.evidential:
+        from .models.evidential import init_evidential
+
+        if args.head_ckpt:
+            head_vars = _load_evidential(args.head_ckpt)
+        else:
+            head_vars = init_evidential(jax.random.PRNGKey(1), maxdisp=args.maxdisp)
+        state = make_evidential_state(params, head_vars)
+        opt_state = tx.init({"core": state["core"], "head": state["head"]})
+        step_fn = make_evidential_train_step(config, tx)
+        eval_fn = make_evidential_eval_step(config)
+    else:
+        state = params
+        opt_state = tx.init(params)
+        step_fn = make_train_step(config, tx)
+        eval_fn = make_eval_step(config)
 
     manager = make_manager(args.logdir)
     start_step = 0
     if args.resume:
-        restored = restore_latest(manager, params, opt_state)
+        restored = restore_latest(manager, state, opt_state)
         if restored:
-            start_step, params, opt_state = restored
-            print(f"resumed from step {start_step}")
+            start_step, state, opt_state = restored
+            if is_main:
+                print(f"resumed from step {start_step}")
 
-    rng = np.random.RandomState(0)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+
+    def summarize(mode, images, host_batch, step):
+        """TB images + .npz dump for the offline analytics suite (reference
+        train.py:236-239: save_images + save_pytorch every summary_freq)."""
+        if logger is None or (mesh is not None and nproc > 1):
+            return  # image tensors are host-local only in single-process runs
+        arrays = {k: np.asarray(v)[0] for k, v in images.items()}
+        arrays["depth_gt"] = np.asarray(host_batch["depth"])[0]
+        arrays["mask"] = np.asarray(host_batch["mask"])[0]
+        arrays["ref_img"] = np.asarray(host_batch["imgs"])[0, 0]
+        logger.images(mode, arrays, step)
+        logger.dump(mode, arrays, step)
+
+    rng = np.random.RandomState(jax.process_index())
     step = start_step
     meter = MeterDict()
     for epoch in range(start_step // steps_per_epoch, args.epochs):
         order = rng.permutation(len(ds))
-        it = batched(prefetch_samples(ds, order, num_workers=8), args.batch_size,
-                     drop_last=True)
-        for batch in it:
-            batch = {k: v for k, v in batch.items() if k not in ("name",)}
-            params, opt_state, metrics = step_fn(params, opt_state, batch)
+        it = batched(
+            prefetch_samples(ds, order, num_workers=args.num_workers),
+            args.batch_size, drop_last=True,
+        )
+        for batch in itertools.islice(it, steps_per_epoch):
+            host_batch = {k: v for k, v in batch.items() if k not in ("name",)}
+            dev_batch = (
+                form_global_batch(mesh, host_batch) if mesh is not None
+                else host_batch
+            )
+            state, opt_state, metrics, images = step_fn(state, opt_state, dev_batch)
             meter.update(metrics)
             step += 1
-            if step % 20 == 0:
+            if step % args.summary_freq == 0:
                 m = meter.mean()
-                logger.scalars("train", m, step)
-                print(f"epoch {epoch} step {step}: " +
-                      " ".join(f"{k}={v:.4f}" for k, v in m.items()), flush=True)
+                if logger is not None:
+                    logger.scalars("train", m, step)
+                summarize("train", images, host_batch, step)
+                if is_main:
+                    print(f"epoch {epoch} step {step}: " +
+                          " ".join(f"{k}={v:.4f}" for k, v in m.items()), flush=True)
                 meter = MeterDict()
             if args.max_steps and step - start_step >= args.max_steps:
-                save_state(manager, step, params, opt_state)
+                save_state(manager, step, state, opt_state)
                 manager.wait_until_finished()
-                print("max_steps reached")
+                if is_main:
+                    print("max_steps reached")
                 return
-        save_state(manager, step, params, opt_state)
-        print(f"epoch {epoch} checkpointed at step {step}")
+        save_state(manager, step, state, opt_state)
+        if is_main:
+            print(f"epoch {epoch} checkpointed at step {step}")
 
         # Per-epoch validation pass with threshold metrics (reference
         # train.py:262-285 runs its "fulltest" sweep every epoch).
-        if val_ds is not None:
+        if val_ds is not None and val_steps:
             vmeter = MeterDict()
             vit = batched(
-                prefetch_samples(val_ds, num_workers=8), args.batch_size,
-                drop_last=True,
+                prefetch_samples(val_ds, num_workers=args.num_workers),
+                args.batch_size, drop_last=True,
             )
-            for vbatch in vit:
+            for vbatch in itertools.islice(vit, val_steps):
                 vbatch = {k: v for k, v in vbatch.items() if k != "name"}
-                vmeter.update(eval_fn(params, vbatch))
+                if mesh is not None:
+                    vbatch = form_global_batch(mesh, vbatch)
+                vmeter.update(eval_fn(state, vbatch))
             vm = vmeter.mean()
-            logger.scalars("fulltest", vm, step)
-            print(f"epoch {epoch} fulltest: " +
-                  " ".join(f"{k}={v:.4f}" for k, v in vm.items()), flush=True)
+            if logger is not None:
+                logger.scalars("fulltest", vm, step)
+            if is_main:
+                print(f"epoch {epoch} fulltest: " +
+                      " ".join(f"{k}={v:.4f}" for k, v in vm.items()), flush=True)
     manager.wait_until_finished()
-    logger.close()
+    if logger is not None:
+        logger.close()
+
+
+def cmd_convert(args):
+    import jax
+    import orbax.checkpoint as ocp
+
+    if args.evidential:
+        tree = _load_evidential(args.ckpt)
+    else:
+        tree = _load_params(args.ckpt)
+    ocp.StandardCheckpointer().save(os.path.abspath(args.out), tree, force=True)
+    n = sum(int(x.size) for x in jax.tree.leaves(tree))
+    print(f"converted {args.ckpt} -> {args.out} ({n} params)")
+
+
+def cmd_analyze(args):
+    """Feed a train logdir's .npz dumps through the analytics suite
+    (the reference's researcher loop: save_pytorch dumps ->
+    evidential/statistics.py figures, reference train.py:229-239)."""
+    import glob
+    import json
+
+    import numpy as np
+
+    from .utils import analysis
+
+    dump_dir = os.path.join(args.logdir, "results", args.mode)
+    paths = sorted(glob.glob(os.path.join(dump_dir, "*.npz")),
+                   key=lambda p: int(os.path.splitext(os.path.basename(p))[0]))
+    if not paths:
+        raise SystemExit(f"no dumps under {dump_dir} (train with --summary_freq)")
+    out_dir = args.out or os.path.join(args.logdir, "analysis")
+    os.makedirs(out_dir, exist_ok=True)
+
+    report = {}
+    for path in paths:
+        step = os.path.splitext(os.path.basename(path))[0]
+        d = np.load(path)
+        if not {"depth_est", "depth_gt", "mask"} <= set(d.files):
+            continue
+        error = d["depth_est"] - d["depth_gt"]
+        entry = {"error": analysis.summarize(error, np.abs(error), d["mask"])}
+        if "alea_1" in d.files and "epis_1" in d.files:
+            unc = d["alea_1"] + d["epis_1"]
+            entry["uncertainty"] = analysis.summarize(error, unc, d["mask"])
+            roc = analysis.uncertainty_roc(error, unc, d["mask"], args.error_threshold)
+            pr = analysis.uncertainty_precision_recall(
+                error, unc, d["mask"], args.error_threshold)
+            spars = analysis.sparsification_curve(error, unc, d["mask"])
+            cal = analysis.calibration_curve(error, unc, d["mask"])
+            entry["roc_auc"] = roc["auc"]
+            entry["average_precision"] = pr["average_precision"]
+            entry["ause"] = spars["ause"]
+            entry["calibration"] = {
+                "bin_uncertainty": cal["bin_uncertainty"],
+                "bin_abs_error": cal["bin_abs_error"],
+            }
+            analysis.plot_report(
+                os.path.join(out_dir, f"report_{step}.png"),
+                d["ref_img"] if "ref_img" in d.files else np.zeros_like(d["depth_gt"]),
+                d["depth_est"], d["depth_gt"], d["mask"],
+                d["alea_1"], d["epis_1"],
+            )
+        report[step] = entry
+
+    report_path = os.path.join(out_dir, "report.json")
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=2, default=float)
+    print(f"analyzed {len(report)} dumps -> {report_path}")
+
+
+def cmd_quality(args):
+    import json
+
+    from .core.ply import read_ply
+    from .utils.quality import accuracy_completeness
+
+    pred_xyz, _ = read_ply(args.ply)
+    gt_xyz, _ = read_ply(args.gt)
+    metrics = accuracy_completeness(
+        pred_xyz, gt_xyz, max_dist=args.max_dist, downsample=args.downsample
+    )
+    print(json.dumps(metrics, indent=2))
 
 
 def main(argv=None):
@@ -233,13 +500,19 @@ def main(argv=None):
     _add_eval(sub)
     _add_fuse(sub)
     _add_train(sub)
+    _add_convert(sub)
+    _add_analyze(sub)
+    _add_quality(sub)
     args = parser.parse_args(argv)
-    if args.cmd == "eval":
-        cmd_eval(args)
-    elif args.cmd == "fuse":
-        cmd_fuse(args)
-    elif args.cmd == "train":
-        cmd_train(args)
+    dispatch = {
+        "eval": cmd_eval,
+        "fuse": cmd_fuse,
+        "train": cmd_train,
+        "convert": cmd_convert,
+        "analyze": cmd_analyze,
+        "quality": cmd_quality,
+    }
+    dispatch[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -27,4 +27,4 @@ from .transforms import (
     center_crop_to_multiple,
     pad_rows,
 )
-from .ply import write_ply
+from .ply import write_ply, read_ply

@@ -74,20 +74,44 @@ def batch_sharding(mesh: Mesh, ndim: int, spatial_axis: int | None = None) -> Na
     return NamedSharding(mesh, P(*spec))
 
 
-def shard_train_batch(mesh: Mesh, batch: dict) -> dict:
-    """Sharding tree for a training batch.
-
-    imgs ``(B, V, H, W, 3)``: batch over ``data``, H over ``spatial``;
+def _train_batch_specs(mesh: Mesh) -> dict:
+    """imgs ``(B, V, H, W, 3)``: batch over ``data``, H over ``spatial``;
     proj ``(B, V, 4, 4)`` and depth_values ``(B, D)``: batch over ``data``;
-    depth/mask ``(B, H, W)``: batch over ``data``, H over ``spatial``.
-    """
-    specs = {
+    depth/mask ``(B, H, W)``: batch over ``data``, H over ``spatial``."""
+    return {
         "imgs": batch_sharding(mesh, 5, spatial_axis=2),
         "proj_matrices": batch_sharding(mesh, 4),
         "depth_values": batch_sharding(mesh, 2),
         "depth": batch_sharding(mesh, 3, spatial_axis=1),
         "mask": batch_sharding(mesh, 3, spatial_axis=1),
     }
+
+
+def shard_train_batch(mesh: Mesh, batch: dict) -> dict:
+    """Shard a (process-local = global) training batch onto the mesh."""
+    specs = _train_batch_specs(mesh)
     return {
         k: jax.device_put(v, specs[k]) if k in specs else v for k, v in batch.items()
     }
+
+
+def form_global_batch(mesh: Mesh, host_batch: dict) -> dict:
+    """Assemble each process's local batch rows into the global sharded batch.
+
+    Every process holds ``B_local`` consecutive rows of the global batch
+    (the per-host dataset shard, ``Dataset.shard``); the global batch axis is
+    ``B_local * process_count``, laid out over the ``data`` mesh axis.  With
+    one process this reduces to :func:`shard_train_batch`.
+    """
+    if jax.process_count() == 1:
+        return shard_train_batch(mesh, batch={k: np.asarray(v) if not hasattr(v, "sharding") else v for k, v in host_batch.items()})
+    specs = _train_batch_specs(mesh)
+    out = {}
+    for k, v in host_batch.items():
+        if k not in specs:
+            out[k] = v
+            continue
+        v = np.asarray(v)
+        global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(specs[k], v, global_shape)
+    return out

@@ -90,7 +90,12 @@ def run_inference(
 
     Returns timing stats ``{count, total_s, maps_per_s}``.
     """
-    need_volume = config.depth_source == "evidential"
+    if config.depth_source == "evidential" and config.evidential_params is None:
+        raise ValueError("depth_source='evidential' requires evidential_params")
+    # With a head attached, uncertainty maps are always written (reference
+    # eval.py:129-169 writes all four PFM dirs); depth_source only decides
+    # whether the depth PFM is the WTA depth or the evidential gamma.
+    need_volume = config.evidential_params is not None
     run = _jitted_forward(config, with_volume=need_volume)
     evidential_apply = None
     if need_volume:

@@ -80,7 +80,7 @@ params = jax.device_put(init_params(jax.random.PRNGKey(0), 16, 16), replicated(m
 opt_state = jax.device_put(tx.init(params), replicated(mesh))
 step = make_train_step(config, tx)
 
-params, opt_state, metrics = step(params, opt_state, batch)
+params, opt_state, metrics, _ = step(params, opt_state, batch)
 jax.block_until_ready(params)
 loss = float(metrics["loss"])
 assert np.isfinite(loss)

@@ -73,7 +73,7 @@ class TestTrainStep:
 
         losses = []
         for _ in range(8):
-            params, opt_state, metrics = step(params, opt_state, batch)
+            params, opt_state, metrics, _ = step(params, opt_state, batch)
             losses.append(float(metrics["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], f"no learning: {losses}"
@@ -101,6 +101,111 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+class TestEvidentialTraining:
+    """The fork's production loop: core forward -> prob volume -> NIG head
+    (train-mode BN) -> loss_emvsnet, one optimizer over core + head
+    (reference train.py:120-121, 234-237)."""
+
+    def _setup(self, maxdisp=8):
+        from aa_rmvsnet_tpu.models.evidential import init_evidential
+        from aa_rmvsnet_tpu.pipeline.train import (
+            make_evidential_state, make_evidential_train_step,
+        )
+
+        config = TrainConfig(
+            learning_rate=1e-3, total_steps=100, depth_block=2,
+            evidential=True, maxdisp=maxdisp,
+        )
+        tx = make_optimizer(config)
+        core = init_params(jax.random.PRNGKey(0), 16, 16)
+        head = init_evidential(jax.random.PRNGKey(1), 16, 16, maxdisp=maxdisp)
+        state = make_evidential_state(core, head)
+        opt_state = tx.init({"core": state["core"], "head": state["head"]})
+        step = make_evidential_train_step(config, tx)
+        return config, state, opt_state, step
+
+    def test_loss_decreases_and_both_subtrees_update(self):
+        config, state, opt_state, step = self._setup()
+        batch = _batch(D=8, seed=5)
+        core0 = jax.tree.map(np.asarray, state["core"])
+        head0 = jax.tree.map(np.asarray, state["head"])
+        stats0 = jax.tree.map(np.asarray, state["batch_stats"])
+
+        losses = []
+        for _ in range(6):
+            state, opt_state, metrics, images = step(state, opt_state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all(), losses
+        assert losses[-1] < losses[0], f"no learning: {losses}"
+
+        def changed(before, after):
+            return any(
+                not np.allclose(a, np.asarray(b))
+                for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+            )
+
+        assert changed(core0, state["core"]), "no gradient reached the core"
+        assert changed(head0, state["head"]), "no gradient reached the head"
+        assert changed(stats0, state["batch_stats"]), "BN stats did not update"
+        for k in ("depth_est", "error_map", "alea_1", "epis_1"):
+            assert np.isfinite(np.asarray(images[k])).all(), k
+
+    def test_eval_step_metrics(self):
+        from aa_rmvsnet_tpu.pipeline.train import make_evidential_eval_step
+
+        config, state, _, _ = self._setup()
+        eval_step = make_evidential_eval_step(config)
+        metrics = eval_step(state, _batch(D=8, seed=6))
+        for k in ("loss", "abs_depth_error", "thres2mm_error", "thres32mm_error"):
+            assert np.isfinite(float(metrics[k])), k
+
+    @pytest.mark.skipif(not reference_available(), reason="reference tree absent")
+    def test_train_loss_composition_matches_reference(self):
+        """Train-mode head + loss_emvsnet == the reference's loss_der
+        composition (reference train.py:234-237 -> models.py:517-558) on the
+        same prob volume with converted weights."""
+        from oracle import import_reference_module, patch_cuda_to_cpu
+        from aa_rmvsnet_tpu.models.convert import convert_evidential_state_dict
+        from aa_rmvsnet_tpu.models.evidential import EvidentialHead, loss_emvsnet
+
+        ev = import_reference_module("evidential.models")
+        torch.manual_seed(0)
+        with patch_cuda_to_cpu():
+            oracle = ev.EvidentialModule(depth=32)
+        oracle.train()
+
+        rng = np.random.RandomState(3)
+        B, D, H, W = 1, 32, 16, 16
+        logits = rng.randn(B, D, H, W).astype(np.float32)
+        prob = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+        dvals = np.linspace(400, 600, D).astype(np.float32)[None]
+        gt = rng.uniform(400, 600, (B, H, W)).astype(np.float32)
+        mask = (rng.rand(B, H, W) > 0.3).astype(np.float32)
+
+        ref_ev, _ = oracle(torch.from_numpy(prob), torch.from_numpy(dvals))
+        outputs = {
+            "evidential_prediction": ref_ev,
+            "probability_volume": torch.from_numpy(prob),
+        }
+        ref_loss, _, _ = ev.loss_der(
+            outputs, torch.from_numpy(gt), torch.from_numpy(mask),
+            torch.from_numpy(dvals),
+        )
+
+        variables = convert_evidential_state_dict(
+            {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+        )
+        out, _ = EvidentialHead(maxdisp=32).apply(
+            variables, jnp.asarray(prob), jnp.asarray(dvals),
+            train=True, mutable=["batch_stats"],
+        )
+        ours = loss_emvsnet(
+            out["gamma"], out["nu"], out["alpha"], out["beta"],
+            jnp.asarray(gt), jnp.asarray(mask), 0.1,
+        )
+        np.testing.assert_allclose(float(ours), float(ref_loss.detach()), rtol=2e-3)
+
+
 class TestMultiChip:
     def test_mesh_construction(self):
         assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
@@ -123,14 +228,14 @@ class TestMultiChip:
             jax.grad(lambda p, b: loss_fn(p, b, SweepConfig(depth_block=2, remat=True))[0])
         )
         # Single-device gradients and loss.
-        _, _, m1 = step(params, opt_state, batch)
+        _, _, m1, _ = step(params, opt_state, batch)
         g1 = grad_fn(params, batch)
 
         # Sharded over a 4x2 (data, spatial) mesh.
         params_s = jax.device_put(params, replicated(mesh))
         opt_s = jax.device_put(opt_state, replicated(mesh))
         batch_s = shard_train_batch(mesh, batch)
-        p2, _, m2 = step(params_s, opt_s, batch_s)
+        p2, _, m2, _ = step(params_s, opt_s, batch_s)
         jax.block_until_ready(p2)
         g2 = grad_fn(params_s, batch_s)
 

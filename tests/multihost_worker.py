@@ -1,11 +1,16 @@
 """Worker for the multi-host (multi-process) distributed training test.
 
 Launched as: python multihost_worker.py <process_id> <num_processes> <port>
+             [--cli <dtu_root> <listfile> <logdir>]
 
 Each process contributes 4 virtual CPU devices; together they form a
-(num_processes*4)-device global mesh.  Runs one sharded training step with
-per-process local batch shards and prints the loss (must agree across
-processes — the gradient all-reduce crosses the process boundary).
+(num_processes*4)-device global mesh.  Default mode runs one sharded
+training step with per-process local batch shards and prints the loss
+(must agree across processes — the gradient all-reduce crosses the process
+boundary).  ``--cli`` mode instead drives the production entry point
+(``cli train --coordinator ...``) end-to-end on a synthetic DTU tree:
+dataset host-sharding, global-batch assembly, sharded steps, and a
+distributed orbax checkpoint.
 """
 
 import os
@@ -21,6 +26,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+if len(sys.argv) > 4 and sys.argv[4] == "--cli":
+    dtu_root, listfile, logdir = sys.argv[5:8]
+    from aa_rmvsnet_tpu.cli import main
+
+    main([
+        "train", "--trainpath", dtu_root, "--trainlist", listfile,
+        "--logdir", logdir, "--epochs", "1", "--numdepth", "4",
+        "--view_num", "3", "--image_scale", "0.25", "--max_steps", "1",
+        "--batch_size", "4", "--summary_freq", "1", "--num_workers", "2",
+        "--coordinator", f"localhost:{port}",
+        "--num_processes", str(nprocs), "--process_id", str(pid),
+    ])
+    print(f"WORKER {pid} CLI OK", flush=True)
+    sys.exit(0)
+
 jax.distributed.initialize(
     coordinator_address=f"localhost:{port}", num_processes=nprocs, process_id=pid
 )

@@ -138,3 +138,140 @@ class TestTrainCLI:
             "--view_num", "3", "--image_scale", "0.25", "--max_steps", "1",
             "--resume",
         ])
+
+
+class TestTrainCLIMultichip:
+    def test_train_two_steps_on_virtual_mesh(self, tmp_path):
+        """`cli train` builds the (data, spatial) mesh over the 8 virtual
+        devices and runs sharded steps — the production multi-chip path
+        (new TPU-native scope; the reference is single-GPU, SURVEY §2.2)."""
+        from test_pipeline import TestDTUTrainDataset
+
+        listfile = TestDTUTrainDataset()._make_dtu(str(tmp_path), H=16, W=16)
+        from aa_rmvsnet_tpu.cli import main
+
+        logdir = str(tmp_path / "logs_mesh")
+        main([
+            "train", "--trainpath", str(tmp_path), "--trainlist", listfile,
+            "--logdir", logdir, "--epochs", "1", "--numdepth", "4",
+            "--view_num", "3", "--image_scale", "0.25", "--max_steps", "2",
+            "--batch_size", "4", "--spatial", "2", "--summary_freq", "1",
+            "--num_workers", "2",
+        ])
+        assert any(d.isdigit() for d in os.listdir(logdir)), os.listdir(logdir)
+
+    def test_indivisible_batch_with_spatial_fails_loudly(self, tmp_path):
+        from test_pipeline import TestDTUTrainDataset
+
+        listfile = TestDTUTrainDataset()._make_dtu(str(tmp_path), H=16, W=16)
+        from aa_rmvsnet_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main([
+                "train", "--trainpath", str(tmp_path), "--trainlist", listfile,
+                "--logdir", str(tmp_path / "lg"), "--epochs", "1",
+                "--numdepth", "4", "--view_num", "3", "--image_scale", "0.25",
+                "--max_steps", "1", "--batch_size", "3", "--spatial", "2",
+            ])
+
+
+class TestEvidentialCLI:
+    def test_train_evidential_dumps_and_analyze(self, tmp_path):
+        """Observability loop end-to-end: evidential train -> .npz dumps ->
+        `cli analyze` report (reference train.py:229-239 save_images +
+        save_pytorch -> statistics.py figures)."""
+        from test_pipeline import TestDTUTrainDataset
+
+        listfile = TestDTUTrainDataset()._make_dtu(str(tmp_path), H=16, W=16)
+        from aa_rmvsnet_tpu.cli import main
+
+        logdir = str(tmp_path / "logs_ev")
+        main([
+            "train", "--trainpath", str(tmp_path), "--trainlist", listfile,
+            "--logdir", logdir, "--epochs", "1", "--numdepth", "4",
+            "--view_num", "3", "--image_scale", "0.25", "--max_steps", "2",
+            "--evidential", "--maxdisp", "4", "--summary_freq", "1",
+            "--num_workers", "2", "--single_device",
+        ])
+        dumps = os.listdir(os.path.join(logdir, "results", "train"))
+        assert dumps, "no .npz dumps written at summary_freq"
+        d = np.load(os.path.join(logdir, "results", "train", dumps[0]))
+        for key in ("depth_est", "depth_gt", "mask", "alea_1", "epis_1", "ref_img"):
+            assert key in d.files, (key, d.files)
+
+        main(["analyze", "--logdir", logdir])
+        import json
+
+        with open(os.path.join(logdir, "analysis", "report.json")) as f:
+            report = json.load(f)
+        assert report
+        entry = next(iter(report.values()))
+        assert "uncertainty" in entry and "ause" in entry, entry.keys()
+
+    def test_eval_evidential_writes_four_pfm_dirs(self, tmp_path):
+        """`cli eval --evidential_ckpt` writes depth/confidence/epistemic/
+        aleatoric maps in the reference layout (reference eval.py:129-169)."""
+        ckpt = "/root/reference/checkpoints/model_dtu_v2.ckpt"
+        if not os.path.exists(ckpt):
+            pytest.skip("shipped checkpoint absent")
+        import orbax.checkpoint as ocp
+
+        from scenefix import make_plane_scene
+        from aa_rmvsnet_tpu.models.evidential import init_evidential
+        from aa_rmvsnet_tpu.cli import main
+        from aa_rmvsnet_tpu.core.pfm import read_pfm
+
+        # The hourglass needs volume dims divisible by 4 (the reference
+        # crashes identically on W/4 % 4 != 0), so use a 32x32 scene.
+        make_plane_scene(tmp_path, H=32, W=32, num_views=3, focal=200.0)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+
+        head_vars = init_evidential(jax.random.PRNGKey(0), 8, 8, maxdisp=32)
+        head_dir = str(tmp_path / "head_ckpt")
+        ocp.StandardCheckpointer().save(head_dir, head_vars)
+
+        out = str(tmp_path / "outputs")
+        main([
+            "eval", "--testpath", str(tmp_path), "--testlist", str(listfile),
+            "--outdir", out, "--preset", "dtu_eval_smoke", "--loadckpt", ckpt,
+            "--numdepth", "8", "--max_h", "32", "--max_w", "32", "--fp32",
+            "--evidential_ckpt", head_dir, "--save_png",
+        ])
+        for sub in ("depth_est_0", "confidence_0", "epistemic_0", "aleatoric_0"):
+            path = os.path.join(out, "scan1", sub, "00000000.pfm")
+            assert os.path.exists(path), sub
+            arr = read_pfm(path)[0]
+            assert np.isfinite(arr).all(), sub
+        assert os.path.exists(os.path.join(out, "scan1/depth_png_0/00000000.png"))
+
+
+class TestQualityCLI:
+    def test_accuracy_completeness_roundtrip(self, tmp_path, capsys):
+        from aa_rmvsnet_tpu.core import write_ply
+        from aa_rmvsnet_tpu.cli import main
+
+        rng = np.random.RandomState(0)
+        gt = rng.rand(1500, 3).astype(np.float32) * 50
+        pred = gt + rng.randn(1500, 3).astype(np.float32) * 0.3
+        rgb = np.zeros_like(gt, dtype=np.uint8)
+        p_pred, p_gt = str(tmp_path / "p.ply"), str(tmp_path / "g.ply")
+        write_ply(p_pred, pred, rgb)
+        write_ply(p_gt, gt, rgb)
+
+        main(["quality", "--ply", p_pred, "--gt", p_gt, "--downsample", "0"])
+        import json
+
+        metrics = json.loads(capsys.readouterr().out)
+        # noise sigma 0.3 -> mean 3D distance ~ sigma * sqrt(8/pi) ~ 0.48
+        assert 0.2 < metrics["accuracy_mean"] < 1.0
+        assert 0.2 < metrics["completeness_mean"] < 1.0
+        assert metrics["inlier_fraction_pred"] == 1.0
+
+    def test_identical_clouds_are_perfect(self, tmp_path, capsys):
+        from aa_rmvsnet_tpu.utils.quality import accuracy_completeness
+
+        pts = np.random.RandomState(1).rand(500, 3) * 10
+        m = accuracy_completeness(pts, pts)
+        assert m["accuracy_mean"] == 0.0 and m["completeness_mean"] == 0.0
+        assert m["overall"] == 0.0

@@ -53,3 +53,46 @@ def test_two_process_training_step():
         losses.append(float(line[0].split("loss=")[1]))
 
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_cli_train():
+    """The production path: `cli train --coordinator ...` across two
+    processes — jax.distributed init, per-host dataset shards, global batch
+    assembly, sharded steps, and one distributed orbax checkpoint."""
+    import tempfile
+
+    sys.path.insert(0, HERE)
+    from test_pipeline import TestDTUTrainDataset
+
+    with tempfile.TemporaryDirectory(prefix="mh_cli_") as root:
+        listfile = TestDTUTrainDataset()._make_dtu(root, H=16, W=16)
+        logdir = os.path.join(root, "logs")
+        port = _free_port()
+        env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(HERE, "multihost_worker.py"),
+                 str(pid), "2", str(port), "--cli", root, listfile, logdir],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env,
+            )
+            for pid in range(2)
+        ]
+        outputs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outputs.append(out)
+
+        for pid, (p, out) in enumerate(zip(procs, outputs)):
+            assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+            assert f"WORKER {pid} CLI OK" in out, out[-2000:]
+        # Process 0 announces the global mesh (8 devices = 2 procs x 4).
+        assert "mesh:" in outputs[0] and "8 devices" in outputs[0], outputs[0][-2000:]
+        # One distributed checkpoint step directory exists.
+        assert any(d.isdigit() for d in os.listdir(logdir)), os.listdir(logdir)

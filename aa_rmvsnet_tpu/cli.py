@@ -38,6 +38,14 @@ def _add_eval(sub):
                    help="depth map source; defaults to 'evidential' when "
                         "--evidential_ckpt is given, else the core WTA depth")
     p.add_argument("--save_png", action="store_true", help="PNG previews")
+    p.add_argument("--fold_omega", action="store_true",
+                   help="depth-folded cost layout (removes residual-volume "
+                        "lane padding; numerically identical)")
+    p.add_argument("--pallas_gates", action="store_true",
+                   help="fused Pallas ConvLSTM gate kernel")
+    p.add_argument("--fp8_tables", action="store_true",
+                   help="fp8-quantized warp patch tables (half the bytes on "
+                        "the dominant gather stream)")
     return p
 
 
@@ -193,6 +201,8 @@ def cmd_eval(args):
             feature_dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
             depth_source=depth_source, evidential_params=ev_params,
             save_png_previews=args.save_png,
+            fold_omega=args.fold_omega, pallas_gates=args.pallas_gates,
+            table_dtype=jnp.float8_e4m3fn if args.fp8_tables else None,
         ),
     )
     print(f"eval done: {stats['count']} maps, {stats['maps_per_s']:.3f} maps/s")

@@ -109,12 +109,16 @@ class ConvLSTMCell(nn.Module):
     """Convolutional LSTM cell: one 3x3 conv over concat(x, h) producing the
     four gates (reference module.py:40-92).
 
-    With ``AA_RMVSNET_PALLAS=1`` the elementwise gate math runs through the
-    fused 128-lane Pallas kernel (:mod:`aa_rmvsnet_tpu.ops.pallas.gates`)
-    instead of the XLA-fused chain.
+    With ``use_pallas=True`` (plumbed from ``SweepConfig.pallas_gates``) the
+    elementwise gate math runs through the fused 128-lane Pallas kernel
+    (:mod:`aa_rmvsnet_tpu.ops.pallas.gates`) instead of the XLA-fused chain.
+    ``AA_RMVSNET_PALLAS=1`` remains as an env fallback, but being read at
+    trace time it is NOT part of any jit cache key — set it before the first
+    compile or prefer the config field.
     """
 
     hidden: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, state):
@@ -124,7 +128,7 @@ class ConvLSTMCell(nn.Module):
         z = nn.Conv(
             4 * self.hidden, (3, 3), padding=((1, 1), (1, 1)), name="conv"
         )(jnp.concatenate([x, h], axis=-1))
-        if pallas_gates_enabled():
+        if self.use_pallas or pallas_gates_enabled():
             return fused_lstm_gates(z, c)
         i, f, o, g = jnp.split(z, 4, axis=-1)
         c_next = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)

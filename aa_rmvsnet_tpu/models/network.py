@@ -46,10 +46,12 @@ class AARMVSNetCore(nn.Module):
     them independently inside ``lax.scan`` bodies.
     """
 
+    pallas_gates: bool = False
+
     def setup(self):
         self.feature = FeatNet()
         self.omega = InterViewAA()
-        self.cost_regularization = UNetConvLSTM()
+        self.cost_regularization = UNetConvLSTM(pallas_gates=self.pallas_gates)
 
     def features(self, imgs):
         return self.feature(imgs)
@@ -99,6 +101,10 @@ class SweepConfig:
       it (per-channel-scaled quantization, see
       ``ops.patch_sample.build_patch_table_quant``).  ``None`` stores the
       tables in ``feature_dtype`` (exact).
+    pallas_gates: route every ConvLSTM cell's gate math through the fused
+      Pallas kernel (``ops/pallas/gates.py``).  Unlike the legacy
+      ``AA_RMVSNET_PALLAS`` env var this is part of the traced program, so
+      toggling it always takes effect.
     """
 
     depth_block: int = 16
@@ -107,6 +113,7 @@ class SweepConfig:
     feature_dtype: Any = jnp.float32
     table_dtype: Any = None
     fold_omega: bool = False
+    pallas_gates: bool = False
 
 
 def pick_depth_block(num_depth: int, target: int) -> int:
@@ -308,7 +315,7 @@ def sweep(
 
     def regularize_block(states, cost_block):
         def body(states, slice_):
-            cost, states = AARMVSNetCore().apply(
+            cost, states = AARMVSNetCore(pallas_gates=config.pallas_gates).apply(
                 params, slice_, states, method=AARMVSNetCore.regularize
             )
             return states, cost[..., 0]  # (B, H, W)

@@ -29,24 +29,32 @@ class UNetConvLSTM(nn.Module):
     variance cost slice ``(B, H, W, 32)`` (H, W divisible by 4) and
     ``states`` is a 5-tuple of ``(h, c)`` pairs at resolutions
     (1, 1/2, 1/4, 1/2, 1).
+
+    ``pallas_gates`` routes every cell's gate math through the fused Pallas
+    kernel (hyperparameter only — the parameter tree is unchanged).
     """
+
+    pallas_gates: bool = False
 
     @nn.compact
     def __call__(self, x, states):
         pool = lambda t: nn.max_pool(t, (2, 2), strides=(2, 2))
+        cell = lambda hidden, name: ConvLSTMCell(
+            hidden, use_pallas=self.pallas_gates, name=name
+        )
 
-        s0 = ConvLSTMCell(16, name="cell0")(x, states[0])
+        s0 = cell(16, "cell0")(x, states[0])
         h0 = s0[0]
-        s1 = ConvLSTMCell(16, name="cell1")(pool(h0), states[1])
+        s1 = cell(16, "cell1")(pool(h0), states[1])
         h1 = s1[0]
-        s2 = ConvLSTMCell(16, name="cell2")(pool(h1), states[2])
+        s2 = cell(16, "cell2")(pool(h1), states[2])
         h2 = s2[0]
 
         u2 = DeconvGNReLU(16, name="deconv0")(h2)
-        s3 = ConvLSTMCell(16, name="cell3")(jnp.concatenate([u2, h1], -1), states[3])
+        s3 = cell(16, "cell3")(jnp.concatenate([u2, h1], -1), states[3])
         h3 = s3[0]
         u3 = DeconvGNReLU(16, name="deconv1")(h3)
-        s4 = ConvLSTMCell(8, name="cell4")(jnp.concatenate([u3, h0], -1), states[4])
+        s4 = cell(8, "cell4")(jnp.concatenate([u3, h0], -1), states[4])
         h4 = s4[0]
 
         cost = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="conv_out")(h4)

@@ -46,6 +46,9 @@ class InferConfig:
     evidential_params: Any = None  # optional evidential head params
     save_png_previews: bool = False
     num_workers: int = 8
+    fold_omega: bool = False  # depth-folded cost layout (lane-padding fix)
+    pallas_gates: bool = False  # fused ConvLSTM gate kernel
+    table_dtype: Any = None  # e.g. jnp.float8_e4m3fn for fp8 warp tables
 
 
 def _jitted_forward(config: InferConfig, with_volume: bool):
@@ -53,6 +56,9 @@ def _jitted_forward(config: InferConfig, with_volume: bool):
         depth_block=config.depth_block,
         collect_volume=with_volume,
         feature_dtype=config.feature_dtype,
+        fold_omega=config.fold_omega,
+        pallas_gates=config.pallas_gates,
+        table_dtype=config.table_dtype,
     )
 
     @jax.jit

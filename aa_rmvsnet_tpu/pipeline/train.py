@@ -43,6 +43,8 @@ class TrainConfig:
     evidential: bool = False
     maxdisp: int = 32
     evidential_weight_reg: float = 0.1
+    fold_omega: bool = False
+    pallas_gates: bool = False
 
     def sweep(self) -> SweepConfig:
         return SweepConfig(
@@ -50,6 +52,8 @@ class TrainConfig:
             remat=True,
             collect_volume=True,
             feature_dtype=self.feature_dtype,
+            fold_omega=self.fold_omega,
+            pallas_gates=self.pallas_gates,
         )
 
 

@@ -27,7 +27,17 @@ Flags via env:
   BENCH_SIZE=HxW (default 864x1152), BENCH_DEPTH (512), BENCH_VIEWS (5),
   BENCH_BLOCK (8), BENCH_ITERS (4), BENCH_DTYPE (bfloat16|float32),
   BENCH_TABLE_DTYPE (fp8|none, default fp8: fp8-quantized warp tables —
-  half the bytes on the dominant gather stream, see ops/patch_sample.py)
+  half the bytes on the dominant gather stream, see ops/patch_sample.py),
+  BENCH_FOLD_OMEGA (1|0, default 1: depth-folded cost layout — removes the
+  4x lane padding on residual volumes), BENCH_PALLAS (1|0, default 0:
+  fused Pallas ConvLSTM gate kernel)
+
+Besides the headline metric the JSON carries the roofline accounting:
+compiled FLOPs/bytes (XLA cost analysis), the implied ideal time on this
+chip's MEASURED ceilings (BENCHMARKS.md: ~2.9 TFLOPS / ~115 GB/s through
+the tunnel), and `roofline_fraction` = ideal/actual — the auditable
+"how close to this machine's own limits" number.  `mfu` is against the
+same measured compute ceiling.
 """
 
 from __future__ import annotations
@@ -42,6 +52,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 V100_BASELINE_MAPS_PER_S = 0.10
+
+# Measured ceilings of the attached tunnel chip (BENCHMARKS.md calibration
+# microbenchs); used for the roofline fraction so the JSON is auditable
+# without re-deriving the hardware argument.
+MEASURED_PEAK_FLOPS = 2.9e12  # chained 2048^3 bf16 matmuls
+MEASURED_PEAK_BYTES = 115e9  # elementwise copy chain (read+write)
 
 
 def main():
@@ -63,6 +79,8 @@ def main():
         if os.environ.get("BENCH_TABLE_DTYPE", "fp8") == "fp8"
         else None
     )
+    fold_omega = os.environ.get("BENCH_FOLD_OMEGA", "1") == "1"
+    pallas_gates = os.environ.get("BENCH_PALLAS", "0") == "1"
 
     ckpt = "/root/reference/checkpoints/model_dtu_v2.ckpt"
     if os.path.exists(ckpt):
@@ -85,7 +103,8 @@ def main():
 
     config = SweepConfig(
         depth_block=block, collect_volume=False, feature_dtype=dtype,
-        table_dtype=table_dtype,
+        table_dtype=table_dtype, fold_omega=fold_omega,
+        pallas_gates=pallas_gates,
     )
 
     @jax.jit
@@ -93,6 +112,18 @@ def main():
         return forward(params, imgs, proj, depths, config)
 
     args = (params, jnp.asarray(imgs), jnp.asarray(proj), jnp.asarray(depths))
+
+    # Roofline accounting from the compiled program (auditable MFU).
+    flops = byts = None
+    try:
+        cost = run.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+        byts = float(cost.get("bytes accessed", 0.0)) or None
+    except Exception as e:  # tunnel backends may not expose cost analysis
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     # NOTE: the axon TPU tunnel's block_until_ready returns without waiting,
     # so every timing point forces a device-to-host scalar fetch instead.
     out = run(*args)  # compile + warmup
@@ -105,16 +136,30 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     maps_per_s = 1.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"depth_maps_per_sec_per_chip_{H}x{W}_D{D}_V{V}",
-                "value": round(maps_per_s, 4),
-                "unit": "depth-maps/s/chip",
-                "vs_baseline": round(maps_per_s / V100_BASELINE_MAPS_PER_S, 3),
-            }
+    record = {
+        "metric": f"depth_maps_per_sec_per_chip_{H}x{W}_D{D}_V{V}",
+        "value": round(maps_per_s, 4),
+        "unit": "depth-maps/s/chip",
+        "vs_baseline": round(maps_per_s / V100_BASELINE_MAPS_PER_S, 3),
+        "config": {
+            "dtype": "bf16" if dtype == jnp.bfloat16 else "fp32",
+            "fp8_tables": table_dtype is not None,
+            "fold_omega": fold_omega, "pallas_gates": pallas_gates,
+            "depth_block": block,
+        },
+    }
+    if flops and byts:
+        # Ideal time on this chip's measured ceilings; fraction of roofline
+        # actually achieved.  mfu is against the measured compute ceiling.
+        t_ideal = max(flops / MEASURED_PEAK_FLOPS, byts / MEASURED_PEAK_BYTES)
+        record.update(
+            tflops=round(flops / 1e12, 2),
+            gbytes=round(byts / 1e9, 2),
+            bound="bandwidth" if byts / MEASURED_PEAK_BYTES > flops / MEASURED_PEAK_FLOPS else "compute",
+            roofline_fraction=round(t_ideal / dt, 3),
+            mfu=round(flops / (dt * MEASURED_PEAK_FLOPS), 4),
         )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -326,3 +326,66 @@ class TestOmegaFolded:
                 .reshape(8, 16, 20, 1)
             )
             np.testing.assert_allclose(back, ref, atol=1e-5)
+
+
+class TestSweepLevers:
+    """The perf levers must be numerically transparent end-to-end: the
+    depth-folded cost layout and the Pallas gate kernel change memory
+    layout / fusion only, never the math."""
+
+    @pytest.fixture(scope="class")
+    def params(self):
+        return load_torch_checkpoint(CKPT)
+
+    def test_fold_omega_matches_default(self, params):
+        imgs, proj, depths = _random_scene(seed=4)
+        base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                       jnp.asarray(depths), SweepConfig(depth_block=4))
+        folded = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                         jnp.asarray(depths),
+                         SweepConfig(depth_block=4, fold_omega=True))
+        # cost values are O(30); different reduce order costs ~3e-7 relative
+        np.testing.assert_allclose(
+            np.asarray(folded["cost_volume"]), np.asarray(base["cost_volume"]),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(folded["depth"]), np.asarray(base["depth"]), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(folded["photometric_confidence"]),
+            np.asarray(base["photometric_confidence"]), atol=1e-5,
+        )
+
+    def test_fold_omega_with_fp8_tables(self, params):
+        """The folded warp reorder must sample the same quantized table values
+        as the default path (same tables, different gather order)."""
+        imgs, proj, depths = _random_scene(seed=5)
+        cfg = dict(depth_block=4, table_dtype=jnp.float8_e4m3fn)
+        base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                       jnp.asarray(depths), SweepConfig(**cfg))
+        folded = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                         jnp.asarray(depths),
+                         SweepConfig(**cfg, fold_omega=True))
+        np.testing.assert_allclose(
+            np.asarray(folded["cost_volume"]), np.asarray(base["cost_volume"]),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(folded["depth"]), np.asarray(base["depth"]), atol=1e-3
+        )
+
+    def test_pallas_gates_match_default(self, params):
+        imgs, proj, depths = _random_scene(seed=6)
+        base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                       jnp.asarray(depths), SweepConfig(depth_block=4))
+        fused = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                        jnp.asarray(depths),
+                        SweepConfig(depth_block=4, pallas_gates=True))
+        np.testing.assert_allclose(
+            np.asarray(fused["cost_volume"]), np.asarray(base["cost_volume"]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["depth"]), np.asarray(base["depth"]), atol=1e-3
+        )

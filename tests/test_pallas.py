@@ -72,3 +72,62 @@ def test_gate_kernel_gradients():
     gz_x, gc_x = jax.grad(loss_xla, argnums=(0, 1))(z, c)
     np.testing.assert_allclose(np.asarray(gz_p), np.asarray(gz_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_x), atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_gate_kernel_gradients_dtypes(dtype):
+    """Backward-kernel parity in both training dtypes (bf16 is the perf
+    path; its tolerance reflects 8-bit mantissas, not kernel error)."""
+    rng = np.random.RandomState(1)
+    z = jnp.asarray(rng.randn(64, 64), dtype)
+    c = jnp.asarray(rng.randn(64, 16), dtype)
+
+    def loss_pl(z, c):
+        h, cn = fused_lstm_gates(z, c)
+        return jnp.sum(h.astype(jnp.float32) ** 2) + jnp.sum(cn.astype(jnp.float32) ** 2)
+
+    def loss_xla(z, c):
+        h, cn = _xla_gates(z, c)
+        return jnp.sum(h.astype(jnp.float32) ** 2) + jnp.sum(cn.astype(jnp.float32) ** 2)
+
+    gz_p, gc_p = jax.grad(loss_pl, argnums=(0, 1))(z, c)
+    gz_x, gc_x = jax.grad(loss_xla, argnums=(0, 1))(z, c)
+    atol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(gz_p, np.float32),
+                               np.asarray(gz_x, np.float32), atol=atol)
+    np.testing.assert_allclose(np.asarray(gc_p, np.float32),
+                               np.asarray(gc_x, np.float32), atol=atol)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_gradients_through_cell_scan_remat(dtype):
+    """The actual training configuration: kernel inside a ConvLSTMCell
+    driven by lax.scan under jax.checkpoint, gradients vs the XLA cell."""
+    from aa_rmvsnet_tpu.models.blocks import ConvLSTMCell
+
+    rng = jax.random.PRNGKey(0)
+    B, H, W, C, T = 1, 8, 12, 32, 3
+    xs = jax.random.normal(rng, (T, B, H, W, C), dtype)
+    state0 = ConvLSTMCell.zero_state(B, H, W, 16, dtype)
+    params = ConvLSTMCell(16).init(jax.random.PRNGKey(1),
+                                   xs[0].astype(jnp.float32),
+                                   ConvLSTMCell.zero_state(B, H, W, 16))
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+
+    def total(params, use_pallas):
+        cell = ConvLSTMCell(16, use_pallas=use_pallas)
+
+        @jax.checkpoint
+        def body(state, x):
+            h, c = cell.apply(params, x, state)
+            return (h, c), jnp.sum(h.astype(jnp.float32) ** 2)
+
+        _, losses = jax.lax.scan(body, state0, xs)
+        return jnp.sum(losses)
+
+    g_pl = jax.grad(lambda p: total(p, True))(params)
+    g_xla = jax.grad(lambda p: total(p, False))(params)
+    atol = 1e-4 if dtype == jnp.float32 else 1e-1
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=atol)

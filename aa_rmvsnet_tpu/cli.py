@@ -30,6 +30,8 @@ def _add_eval(sub):
     p.add_argument("--max_h", type=int)
     p.add_argument("--max_w", type=int)
     p.add_argument("--depth_block", type=int)
+    p.add_argument("--interval_scale", type=float,
+                   help="depth interval scale (reference eval.py default 1.0)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--evidential_ckpt",
                    help="evidential head weights (torch .ckpt or orbax dir); "
@@ -178,6 +180,7 @@ def cmd_eval(args):
             ("nviews", args.view_num), ("ndepths", args.numdepth),
             ("max_h", args.max_h), ("max_w", args.max_w),
             ("depth_block", args.depth_block),
+            ("interval_scale", args.interval_scale),
         )
         if v is not None
     }
@@ -429,7 +432,11 @@ def cmd_convert(args):
         tree = _load_evidential(args.ckpt)
     else:
         tree = _load_params(args.ckpt)
-    ocp.StandardCheckpointer().save(os.path.abspath(args.out), tree, force=True)
+    # StandardCheckpointer.save is async; block so the checkpoint is
+    # committed before we report success (and before any same-process read).
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(args.out), tree, force=True)
+    ckptr.wait_until_finished()
     n = sum(int(x.size) for x in jax.tree.leaves(tree))
     print(f"converted {args.ckpt} -> {args.out} ({n} params)")
 

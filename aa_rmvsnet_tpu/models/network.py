@@ -105,6 +105,12 @@ class SweepConfig:
       Pallas kernel (``ops/pallas/gates.py``).  Unlike the legacy
       ``AA_RMVSNET_PALLAS`` env var this is part of the traced program, so
       toggling it always takes effect.
+    mesh: optional ``jax.sharding.Mesh``.  When it carries a ``view`` axis
+      of size > 1 (and the source-view count divides it), the per-view
+      patch tables / homography terms are sharding-constrained to that
+      axis, so each device warps only its views and the view-mean of the
+      variance becomes one psum per depth block over ICI
+      (``parallel/mesh.py``; SURVEY §2.2).
     """
 
     depth_block: int = 16
@@ -114,6 +120,7 @@ class SweepConfig:
     table_dtype: Any = None
     fold_omega: bool = False
     pallas_gates: bool = False
+    mesh: Any = None
 
 
 def pick_depth_block(num_depth: int, target: int) -> int:
@@ -308,6 +315,25 @@ def sweep(
         lambda sp: homography_terms(sp, ref_proj, H, W)
     )(src_projs)
 
+    # View-axis sharding: pin the per-view tables/terms to the mesh's
+    # ``view`` axis so each device group warps only its source views.
+    mesh = config.mesh
+    view_parallel = (
+        mesh is not None
+        and "view" in mesh.shape
+        and mesh.shape["view"] > 1
+        and (V - 1) % mesh.shape["view"] == 0
+    )
+    if view_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        view0 = NamedSharding(mesh, PartitionSpec("view"))
+        src_tables = jax.lax.with_sharding_constraint(src_tables, view0)
+        rot_grids = jax.lax.with_sharding_constraint(rot_grids, view0)
+        transes = jax.lax.with_sharding_constraint(transes, view0)
+        if table_scales is not None:
+            table_scales = jax.lax.with_sharding_constraint(table_scales, view0)
+
     # (num_blocks, B, block) sweep-ordered depth blocks.
     depth_blocks = (
         depth_values.T.reshape(num_blocks, block, B).transpose(0, 2, 1)
@@ -324,12 +350,45 @@ def sweep(
 
     build = _build_cost_block_folded if config.fold_omega else _build_cost_block
 
+    if view_parallel:
+        # Manual over the view axis only (data/spatial stay GSPMD-auto):
+        # each view group builds the variance over ITS source views; one
+        # explicit psum per depth block merges them.  shard_map (not a bare
+        # sharding constraint) because jax-level AD then also psums the
+        # omega/feature parameter cotangents over view — GSPMD's backward
+        # propagation double-counted the regularizer gradients by the view
+        # axis size when the same program was expressed with constraints
+        # alone (observed on the 8-device CPU mesh; same bug family as the
+        # B-major omega merge note below).
+        from jax.sharding import PartitionSpec as P
+
+        k = mesh.shape["view"]
+
+        def _view_build(params, ref_feat, tables, rots, trs, dblock, scales):
+            local = build(params, ref_feat, tables, rots, trs, dblock, scales)
+            return jax.lax.psum(local, "view") / k
+
+        in_specs = (
+            P(), P(), P("view"), P("view"), P("view"), P(),
+            P("view") if table_scales is not None else P(),
+        )
+        view_build = jax.shard_map(
+            _view_build, mesh=mesh, in_specs=in_specs, out_specs=P(),
+            axis_names=frozenset({"view"}),
+        )
+        build_block = lambda dblock: view_build(
+            params, ref_feat, src_tables, rot_grids, transes, dblock,
+            table_scales,
+        )
+    else:
+        build_block = lambda dblock: build(
+            params, ref_feat, src_tables, rot_grids, transes, dblock,
+            table_scales,
+        )
+
     def block_step(carry, depth_block_values):
         states, depth_img, max_cost, lse = carry
-        cost_block = build(
-            params, ref_feat, src_tables, rot_grids, transes,
-            depth_block_values, table_scales,
-        )
+        cost_block = build_block(depth_block_values)
         states, costs = regularize_block(states, cost_block)  # costs (block,B,H,W)
         costs = costs.astype(jnp.float32)
 

@@ -12,7 +12,15 @@ TPU-first structure: the per-(view, depth) warp + residual + reweight is
 embarrassingly parallel, so we batch *all views and a block of depths* into
 one big NHWC batch for the omega convnet — large conv batches keep the MXU
 busy — and reduce over views with a single sum.  When views are sharded
-across a mesh axis, that sum becomes one ``psum`` over ICI.
+across a mesh axis, that sum becomes one ``psum`` over ICI — implemented in
+the production sweep via a manual-over-``view`` shard_map
+(``models.network.sweep`` with ``SweepConfig.mesh``; tested in
+tests/test_train.py:TestViewAxisSharding).
+
+This module is the *reference semantic* of the cost build — the shape the
+parity tests and the verify driver exercise directly; the production sweep
+fuses the same math with the 128-lane patch-table warp
+(``models/network.py:_build_cost_block``).
 """
 
 from __future__ import annotations

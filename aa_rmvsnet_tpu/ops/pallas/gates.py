@@ -39,13 +39,16 @@ def pallas_gates_enabled() -> bool:
 
 
 def _gate_kernel(i_ref, f_ref, o_ref, g_ref, c_ref, h_out, c_out):
-    i = jax.nn.sigmoid(i_ref[...])
-    f = jax.nn.sigmoid(f_ref[...])
-    o = jax.nn.sigmoid(o_ref[...])
-    g = jnp.tanh(g_ref[...])
-    c_next = f * c_ref[...] + i * g
-    h_out[...] = o * jnp.tanh(c_next)
-    c_out[...] = c_next
+    # Compute in fp32 regardless of storage dtype: Mosaic rejects mixed
+    # f32-scalar/bf16-vector broadcasts inside transcendentals, and the
+    # fp32 math is also what the XLA path effectively does.
+    i = jax.nn.sigmoid(i_ref[...].astype(jnp.float32))
+    f = jax.nn.sigmoid(f_ref[...].astype(jnp.float32))
+    o = jax.nn.sigmoid(o_ref[...].astype(jnp.float32))
+    g = jnp.tanh(g_ref[...].astype(jnp.float32))
+    c_next = f * c_ref[...].astype(jnp.float32) + i * g
+    h_out[...] = (o * jnp.tanh(c_next)).astype(h_out.dtype)
+    c_out[...] = c_next.astype(c_out.dtype)
 
 
 def _gate_bwd_kernel(
@@ -54,20 +57,20 @@ def _gate_bwd_kernel(
 ):
     # Recompute the (cheap) activations instead of storing them — the
     # backward pass then reads exactly the forward inputs plus the two
-    # cotangents, one VMEM pass total.
-    i = jax.nn.sigmoid(i_ref[...])
-    f = jax.nn.sigmoid(f_ref[...])
-    o = jax.nn.sigmoid(o_ref[...])
-    g = jnp.tanh(g_ref[...])
-    c = c_ref[...]
+    # cotangents, one VMEM pass total.  fp32 math (see _gate_kernel).
+    i = jax.nn.sigmoid(i_ref[...].astype(jnp.float32))
+    f = jax.nn.sigmoid(f_ref[...].astype(jnp.float32))
+    o = jax.nn.sigmoid(o_ref[...].astype(jnp.float32))
+    g = jnp.tanh(g_ref[...].astype(jnp.float32))
+    c = c_ref[...].astype(jnp.float32)
     tc = jnp.tanh(f * c + i * g)
-    dh = dh_ref[...]
-    dcp = dcn_ref[...] + dh * o * (1.0 - tc * tc)
-    do_out[...] = dh * tc * o * (1.0 - o)
-    df_out[...] = dcp * c * f * (1.0 - f)
-    di_out[...] = dcp * g * i * (1.0 - i)
-    dg_out[...] = dcp * i * (1.0 - g * g)
-    dc_out[...] = dcp * f
+    dh = dh_ref[...].astype(jnp.float32)
+    dcp = dcn_ref[...].astype(jnp.float32) + dh * o * (1.0 - tc * tc)
+    do_out[...] = (dh * tc * o * (1.0 - o)).astype(do_out.dtype)
+    df_out[...] = (dcp * c * f * (1.0 - f)).astype(df_out.dtype)
+    di_out[...] = (dcp * g * i * (1.0 - i)).astype(di_out.dtype)
+    dg_out[...] = (dcp * i * (1.0 - g * g)).astype(dg_out.dtype)
+    dc_out[...] = (dcp * f).astype(dc_out.dtype)
 
 
 def _to_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:

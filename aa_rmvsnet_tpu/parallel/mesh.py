@@ -5,6 +5,10 @@ anywhere — SURVEY §2.2); all parallelism here is new TPU-native scope:
 
 - ``data`` axis: batch data-parallelism (gradient all-reduce inserted by
   XLA's GSPMD partitioner).
+- ``view`` axis: source views of the plane sweep.  The cost build's
+  view-mean becomes one psum per depth block over ICI
+  (``models.network.sweep`` constrains the per-view patch tables to this
+  axis when ``SweepConfig.mesh`` carries it).
 - ``spatial`` axis: height-wise spatial partitioning of feature maps.
   GSPMD inserts halo exchanges for the convolutions automatically; the
   plane-sweep gather induces an all-gather of the (small) source feature
@@ -42,23 +46,39 @@ def initialize_distributed(coordinator: str | None = None, num_processes: int | 
 def make_mesh(
     data: int | None = None,
     spatial: int = 1,
+    view: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ``(data, spatial)`` mesh over the available devices.
+    """Build a ``(data, view, spatial)`` mesh over the available devices.
 
-    ``data`` defaults to ``num_devices // spatial``.  The data axis varies
-    slowest so it maps across hosts (DCN) while spatial stays within a host
-    (ICI) under the default device enumeration.
+    ``data`` defaults to ``num_devices // (view * spatial)``.  The data axis
+    varies slowest so it maps across hosts (DCN) while view/spatial stay
+    within a host (ICI) under the default device enumeration.
     """
+    if view > 1 and spatial > 1:
+        import warnings
+
+        warnings.warn(
+            "view > 1 combined with spatial > 1: fine for inference, but "
+            "GRADIENTS under this mesh are double-counted by the view-axis "
+            "size (upstream XLA SPMD partitioner bug — minimal repro in "
+            "tests/test_train.py:TestViewAxisSharding).  For training use "
+            "(data, view) or (data, spatial).",
+            UserWarning,
+            stacklevel=2,
+        )
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
+    inner = view * spatial
     if data is None:
-        if n % spatial:
-            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
-        data = n // spatial
-    if data * spatial != n:
-        raise ValueError(f"mesh {data}x{spatial} != {n} devices")
-    return Mesh(devices.reshape(data, spatial), axis_names=("data", "spatial"))
+        if n % inner:
+            raise ValueError(f"{n} devices not divisible by view*spatial={inner}")
+        data = n // inner
+    if data * inner != n:
+        raise ValueError(f"mesh {data}x{view}x{spatial} != {n} devices")
+    return Mesh(
+        devices.reshape(data, view, spatial), axis_names=("data", "view", "spatial")
+    )
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -229,7 +229,9 @@ class TestEvidentialCLI:
 
         head_vars = init_evidential(jax.random.PRNGKey(0), 8, 8, maxdisp=32)
         head_dir = str(tmp_path / "head_ckpt")
-        ocp.StandardCheckpointer().save(head_dir, head_vars)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(head_dir, head_vars)
+        ckptr.wait_until_finished()  # async save: commit before restore
 
         out = str(tmp_path / "outputs")
         main([

@@ -30,10 +30,14 @@ def test_gate_kernel_matches_xla(hidden, dtype):
     h_out, c_out = fused_lstm_gates(z, c)
 
     assert h_out.shape == c.shape and h_out.dtype == c.dtype
+    # The kernel computes in fp32 internally (Mosaic requirement, also more
+    # accurate); in bf16 the reference chain rounds at each step, so the
+    # tolerance is one bf16 ulp of the O(1) gate outputs.
+    atol = 1e-6 if dtype == jnp.float32 else 2e-2
     np.testing.assert_allclose(np.asarray(h_out, np.float32),
-                               np.asarray(h_ref, np.float32), atol=1e-6)
+                               np.asarray(h_ref, np.float32), atol=atol)
     np.testing.assert_allclose(np.asarray(c_out, np.float32),
-                               np.asarray(c_ref, np.float32), atol=1e-6)
+                               np.asarray(c_ref, np.float32), atol=atol)
 
 
 def test_gate_kernel_in_cell(monkeypatch):

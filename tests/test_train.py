@@ -210,7 +210,7 @@ class TestMultiChip:
     def test_mesh_construction(self):
         assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
         mesh = make_mesh(data=4, spatial=2)
-        assert dict(mesh.shape) == {"data": 4, "spatial": 2}
+        assert dict(mesh.shape) == {"data": 4, "view": 1, "spatial": 2}
 
     def test_sharded_train_step_runs_and_matches_single(self):
         from aa_rmvsnet_tpu.pipeline.train import loss_fn
@@ -269,3 +269,99 @@ class TestMultiChip:
         fn, args = mod.entry()
         out = jax.jit(fn)(*args)
         assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+class TestViewAxisSharding:
+    """The `view` mesh axis (SURVEY §2.2): per-view patch tables pinned to
+    the axis, the cost build runs manual-over-view inside shard_map, and the
+    view-mean of the variance is one explicit psum per depth block.
+
+    CAVEAT (upstream): combining view>1 AND spatial>1 in a mesh used for
+    GRADIENTS double-counts in-scan conv kernel grads by the view-axis size
+    (XLA SPMD partitioner bug; minimal repro: scan over a conv with a
+    (data, idle-view, spatial) mesh — (data, view) and (data, spatial) are
+    both correct).  make_mesh warns about the combination; inference
+    (forward-only) is exact on any combination, tested below at (2,2,2).
+    """
+
+    def _scalar_loss(self, params, batch, cfg):
+        from aa_rmvsnet_tpu.pipeline.train import loss_fn
+
+        return loss_fn(params, batch, cfg)[0]
+
+    def test_forward_matches_single_device(self):
+        from aa_rmvsnet_tpu.models.network import SweepConfig, forward
+
+        with pytest.warns(UserWarning, match="view.*spatial"):
+            mesh = make_mesh(data=2, view=2, spatial=2)
+        batch = _batch(B=2, V=5, H=16, W=16, D=4, seed=7)  # S=4 views % 2 == 0
+        params = init_params(jax.random.PRNGKey(0), 16, 16)
+
+        base = forward(params, batch["imgs"], batch["proj_matrices"],
+                       batch["depth_values"], SweepConfig(depth_block=2))
+        sharded = forward(
+            jax.device_put(params, replicated(mesh)),
+            *(shard_train_batch(mesh, batch)[k]
+              for k in ("imgs", "proj_matrices", "depth_values")),
+            SweepConfig(depth_block=2, mesh=mesh),
+        )
+        np.testing.assert_allclose(
+            np.asarray(base["cost_volume"]), np.asarray(sharded["cost_volume"]),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(base["depth"]), np.asarray(sharded["depth"]), atol=1e-3
+        )
+
+    def test_grads_match_on_data_view_mesh(self):
+        """(data, view) training mesh: loss + gradients agree with
+        single-device (shard_map AD psums the parameter cotangents over
+        view; tolerance covers fp32 psum reassociation through BPTT)."""
+        from aa_rmvsnet_tpu.models.network import SweepConfig
+
+        mesh = make_mesh(data=4, view=2, spatial=1)
+        batch = _batch(B=4, V=5, H=16, W=16, D=4, seed=7)
+        params = init_params(jax.random.PRNGKey(0), 16, 16)
+
+        cfg1 = SweepConfig(depth_block=2, remat=True, collect_volume=True)
+        l1 = jax.jit(self._scalar_loss, static_argnums=2)(params, batch, cfg1)
+        g1 = jax.jit(jax.grad(self._scalar_loss), static_argnums=2)(
+            params, batch, cfg1)
+
+        cfg2 = SweepConfig(depth_block=2, remat=True, collect_volume=True,
+                           mesh=mesh)
+        params_s = jax.device_put(params, replicated(mesh))
+        batch_s = shard_train_batch(mesh, batch)
+        l2 = jax.jit(self._scalar_loss, static_argnums=2)(params_s, batch_s, cfg2)
+        g2 = jax.jit(jax.grad(self._scalar_loss), static_argnums=2)(
+            params_s, batch_s, cfg2)
+
+        assert np.isfinite(float(l1))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(
+                b, a, atol=max(5e-3 * np.abs(a).max(), 1e-6)
+            )
+
+    def test_view_axis_skipped_when_indivisible(self):
+        """V-1 not divisible by the view axis -> constraint quietly skipped,
+        result still correct."""
+        from aa_rmvsnet_tpu.models.network import SweepConfig, forward
+
+        with pytest.warns(UserWarning, match="view.*spatial"):
+            mesh = make_mesh(data=2, view=2, spatial=2)
+        batch = _batch(B=2, V=4, H=16, W=16, D=4, seed=8)  # S=3 % 2 != 0
+        params = init_params(jax.random.PRNGKey(0), 16, 16)
+
+        base = forward(params, batch["imgs"], batch["proj_matrices"],
+                       batch["depth_values"], SweepConfig(depth_block=2))
+        sharded = forward(
+            jax.device_put(params, replicated(mesh)),
+            *(shard_train_batch(mesh, batch)[k]
+              for k in ("imgs", "proj_matrices", "depth_values")),
+            SweepConfig(depth_block=2, mesh=mesh),
+        )
+        np.testing.assert_allclose(
+            np.asarray(base["depth"]), np.asarray(sharded["depth"]), atol=1e-4
+        )

@@ -48,6 +48,9 @@ def _add_eval(sub):
     p.add_argument("--fp8_tables", action="store_true",
                    help="fp8-quantized warp patch tables (half the bytes on "
                         "the dominant gather stream)")
+    p.add_argument("--fanout", type=int, default=1,
+                   help="shard batches of N same-shape samples across a "
+                        "data mesh axis of N devices (eval fleet mode)")
     return p
 
 
@@ -197,6 +200,14 @@ def cmd_eval(args):
     )
     if depth_source == "evidential" and ev_params is None:
         raise SystemExit("--depth_source evidential requires --evidential_ckpt")
+    mesh = None
+    if args.fanout > 1:
+        import jax
+
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.fanout,
+                         devices=jax.devices()[: args.fanout])
     stats = run_inference(
         params, ds,
         InferConfig(
@@ -206,6 +217,7 @@ def cmd_eval(args):
             save_png_previews=args.save_png,
             fold_omega=args.fold_omega, pallas_gates=args.pallas_gates,
             table_dtype=jnp.float8_e4m3fn if args.fp8_tables else None,
+            mesh=mesh,
         ),
     )
     print(f"eval done: {stats['count']} maps, {stats['maps_per_s']:.3f} maps/s")
@@ -483,6 +495,18 @@ def cmd_analyze(args):
                 "bin_uncertainty": cal["bin_uncertainty"],
                 "bin_abs_error": cal["bin_abs_error"],
             }
+            entry["regression"] = analysis.regression_fit(error, unc, d["mask"])
+            prsweep = analysis.precision_recall_vs_threshold(
+                error, unc, d["mask"], args.error_threshold)
+            entry["pr_vs_threshold"] = {
+                "precision": prsweep["precision"],
+                "recall": prsweep["recall"],
+                "fraction_kept": prsweep["fraction_kept"],
+            }
+            analysis.plot_density(
+                os.path.join(out_dir, f"density_{step}.png"),
+                error, unc, d["mask"],
+            )
             analysis.plot_report(
                 os.path.join(out_dir, f"report_{step}.png"),
                 d["ref_img"] if "ref_img" in d.files else np.zeros_like(d["depth_gt"]),

@@ -49,6 +49,12 @@ class InferConfig:
     fold_omega: bool = False  # depth-folded cost layout (lane-padding fix)
     pallas_gates: bool = False  # fused ConvLSTM gate kernel
     table_dtype: Any = None  # e.g. jnp.float8_e4m3fn for fp8 warp tables
+    # Multi-device fan-out: with a mesh whose ``data`` axis is > 1, samples
+    # are bucketed by shape into batches of that size and sharded across
+    # the axis — one jit cache entry per (shape, batch) instead of a strict
+    # serial B=1 loop.  Ragged tails are padded by repeating the last
+    # sample (the padded outputs are dropped before saving).
+    mesh: Any = None
 
 
 def _jitted_forward(config: InferConfig, with_volume: bool):
@@ -109,9 +115,69 @@ def run_inference(
 
         evidential_apply = make_evidential_apply(config.evidential_params)
 
+    mesh = config.mesh
+    fanout = 1
+    batch_sharding = None
+    if mesh is not None and "data" in mesh.shape and mesh.shape["data"] > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        fanout = int(mesh.shape["data"])
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        replicated = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, jax.tree.map(lambda _: replicated, params))
+
     count = 0
     total = 0.0
     failures: list[str] = []
+
+    def flush(group: list) -> float:
+        """Run one (possibly padded) batch and save its outputs."""
+        nonlocal count
+        n_real = len(group)
+        padded = group + [group[-1]] * (fanout - n_real)
+        imgs = jnp.asarray(np.stack([s["imgs"] for s in padded]))
+        proj = jnp.asarray(np.stack([s["proj_matrices"] for s in padded]))
+        depths = jnp.asarray(np.stack([s["depth_values"] for s in padded]))
+        if batch_sharding is not None:
+            imgs, proj, depths = (
+                jax.device_put(x, batch_sharding) for x in (imgs, proj, depths)
+            )
+
+        t0 = time.perf_counter()
+        out = run(params, imgs, proj, depths)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+
+        depth_b = np.asarray(out["depth"])
+        conf_b = np.asarray(out["photometric_confidence"])
+        ev = None
+        if need_volume:
+            ev = {k: np.asarray(v) for k, v in
+                  evidential_apply(out["cost_volume"], depths).items()}
+        for i, sample in enumerate(group):
+            depth, conf = depth_b[i], conf_b[i]
+            uncertainty = None
+            if ev is not None:
+                gamma, nu, alpha, beta = (ev[k][i] for k in ("gamma", "nu", "alpha", "beta"))
+                uncertainty = {
+                    "aleatoric_0": np.sqrt(beta * (nu + 1) / nu / alpha),
+                    "epistemic_0": 1.0 / np.sqrt(nu),
+                }
+                if config.depth_source == "evidential":
+                    depth = gamma
+            out_dir = os.path.join(config.out_root, sample["scan"])
+            save_outputs(out_dir, sample["ref_view"], depth, conf, uncertainty,
+                         config.save_png_previews)
+            count += 1
+            if progress:
+                print(f"[{count}/{len(dataset)}] {sample['scan']}/"
+                      f"{sample['ref_view']:08d}  {dt / n_real:.3f}s", flush=True)
+        return dt
+
+    # Shape-bucketed streaming: scenes come in shape families (the eval
+    # datasets emit one shape per family), so bucketing by shape keeps one
+    # jit cache entry per family while filling the fan-out batch.
+    buckets: dict = {}
     for sample in prefetch_samples(dataset, num_workers=config.num_workers):
         if isinstance(sample, Exception):
             # Loader-side failure (corrupt image, missing cam): skip the
@@ -120,36 +186,15 @@ def run_inference(
             failures.append(str(sample))
             print(f"SKIP (load failure): {sample}", flush=True)
             continue
-        imgs = jnp.asarray(sample["imgs"][None])
-        proj = jnp.asarray(sample["proj_matrices"][None])
-        depths = jnp.asarray(sample["depth_values"][None])
-
-        t0 = time.perf_counter()
-        out = run(params, imgs, proj, depths)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        total += dt
-        count += 1
-
-        depth = np.asarray(out["depth"][0])
-        conf = np.asarray(out["photometric_confidence"][0])
-        uncertainty = None
-        if need_volume:
-            ev = evidential_apply(out["cost_volume"], depths)
-            gamma, nu, alpha, beta = (np.asarray(ev[k][0]) for k in ("gamma", "nu", "alpha", "beta"))
-            uncertainty = {
-                "aleatoric_0": np.sqrt(beta * (nu + 1) / nu / alpha),
-                "epistemic_0": 1.0 / np.sqrt(nu),
-            }
-            if config.depth_source == "evidential":
-                depth = gamma
-
-        out_dir = os.path.join(config.out_root, sample["scan"])
-        save_outputs(out_dir, sample["ref_view"], depth, conf, uncertainty,
-                     config.save_png_previews)
-        if progress:
-            print(f"[{count}/{len(dataset)}] {sample['scan']}/{sample['ref_view']:08d}"
-                  f"  {dt:.3f}s", flush=True)
+        key = (sample["imgs"].shape, sample["depth_values"].shape)
+        bucket = buckets.setdefault(key, [])
+        bucket.append(sample)
+        if len(bucket) == fanout:
+            total += flush(bucket)
+            buckets[key] = []
+    for bucket in buckets.values():  # ragged tails
+        if bucket:
+            total += flush(bucket)
 
     if failures:
         print(f"run_inference: {len(failures)} sample(s) skipped due to load failures")

@@ -131,6 +131,90 @@ def precision_recall_vs_threshold(error, uncertainty, mask, error_threshold: flo
             "recall": recall, "fraction_kept": kept}
 
 
+def error_uncertainty_density(error, uncertainty, mask, bins: int = 50,
+                              clip_quantile: float = 0.995):
+    """2D density (heatmap) of |error| vs uncertainty over valid pixels
+    (reference statistics.py:395-635 density/heatmap plots).
+
+    Extreme outliers are clipped at the given quantile so the histogram
+    resolves the bulk of the distribution.  Returns ``{hist, err_edges,
+    unc_edges}`` with ``hist[i, j]`` counting pixels in |error| bin i and
+    uncertainty bin j.
+    """
+    err, unc = _flatten_valid(error, uncertainty, mask)
+    abs_err = np.abs(err)
+    if abs_err.size == 0:
+        return {"hist": np.zeros((bins, bins)), "err_edges": None, "unc_edges": None}
+    e_hi = max(float(np.quantile(abs_err, clip_quantile)), 1e-9)
+    u_lo, u_hi = float(unc.min()), max(float(np.quantile(unc, clip_quantile)), 1e-9)
+    hist, err_edges, unc_edges = np.histogram2d(
+        np.minimum(abs_err, e_hi), np.minimum(unc, u_hi),
+        bins=bins, range=[[0.0, e_hi], [u_lo, u_hi]],
+    )
+    return {"hist": hist, "err_edges": err_edges, "unc_edges": unc_edges}
+
+
+def regression_fit(error, uncertainty, mask):
+    """Least-squares fit of |error| ~ uncertainty, plus the same fit in
+    log-log space (reference statistics.py:914-1053 regression fits).
+
+    Returns slope/intercept/r/p per fit; ``r`` close to 1 means the
+    uncertainty magnitude tracks the error magnitude, not just its rank.
+    """
+    from scipy.stats import linregress
+
+    err, unc = _flatten_valid(error, uncertainty, mask)
+    abs_err = np.abs(err)
+    if abs_err.size < 3:
+        return {}
+
+    def _fit(x, y):
+        res = linregress(x, y)
+        return {
+            "slope": float(res.slope),
+            "intercept": float(res.intercept),
+            "r": float(res.rvalue),
+            "p": float(res.pvalue),
+            "stderr": float(res.stderr),
+        }
+
+    out = {"linear": _fit(unc, abs_err)}
+    pos = (unc > 0) & (abs_err > 0)
+    if pos.sum() >= 3:
+        out["loglog"] = _fit(np.log(unc[pos]), np.log(abs_err[pos]))
+    return out
+
+
+def plot_density(path, error, uncertainty, mask, bins: int = 50):
+    """Heatmap of the |error|-vs-uncertainty joint density with the linear
+    regression fit overlaid (reference statistics.py:395-635, 914-1053)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dens = error_uncertainty_density(error, uncertainty, mask, bins=bins)
+    fit = regression_fit(error, uncertainty, mask)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    if dens["err_edges"] is not None:
+        # log1p counts: the near-origin bulk would otherwise saturate.
+        ax.pcolormesh(dens["unc_edges"], dens["err_edges"],
+                      np.log1p(dens["hist"]), cmap="viridis")
+        if fit:
+            u = np.array([dens["unc_edges"][0], dens["unc_edges"][-1]])
+            lin = fit["linear"]
+            ax.plot(u, lin["slope"] * u + lin["intercept"], "r--",
+                    label=f"|err| ~ {lin['slope']:.2f}u + {lin['intercept']:.2f} "
+                          f"(r={lin['r']:.2f})")
+            ax.legend(loc="upper left")
+    ax.set_xlabel("predicted uncertainty")
+    ax.set_ylabel("|depth error|")
+    ax.set_title("error vs uncertainty density (log1p counts)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
 def summarize(error, uncertainty, mask):
     """Headline scalars: masked MAE/RMSE, mean uncertainty, Spearman
     correlation between |error| and uncertainty."""

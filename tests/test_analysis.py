@@ -10,6 +10,9 @@ from aa_rmvsnet_tpu.utils.analysis import (
     calibration_curve,
     sparsification_curve,
     precision_recall_vs_threshold,
+    error_uncertainty_density,
+    regression_fit,
+    plot_density,
     summarize,
     plot_report,
 )
@@ -63,6 +66,34 @@ class TestAnalytics:
         assert len(out["precision"]) > 10
         # keeping only the most certain pixels should give high precision
         assert out["precision"][0] > 0.95
+
+    def test_density_and_regression(self, tmp_path):
+        """uncertainty = |error| -> regression slope ~1, r ~1; density mass
+        concentrates on the diagonal (reference statistics.py:395-635,
+        914-1053 analogs)."""
+        e, u, m = _well_calibrated()
+        fit = regression_fit(e, u, m)
+        assert 0.9 < fit["linear"]["slope"] < 1.1, fit
+        assert fit["linear"]["r"] > 0.99
+        assert "loglog" in fit and fit["loglog"]["r"] > 0.9
+
+        dens = error_uncertainty_density(e, u, m, bins=20)
+        h = dens["hist"]
+        assert h.sum() > 0.98 * (e.size)  # clip quantile drops <2%
+        # diagonal dominance: on-diagonal band carries most of the mass
+        band = sum(h[i, max(0, i - 1):i + 2].sum() for i in range(20))
+        assert band > 0.8 * h.sum()
+
+        out = os.path.join(tmp_path, "density.png")
+        plot_density(out, e, u, m)
+        assert os.path.getsize(out) > 0
+
+    def test_regression_uninformative_uncertainty(self):
+        rng = np.random.RandomState(3)
+        e = rng.randn(64, 64).astype(np.float32) * 10
+        u = rng.rand(64, 64).astype(np.float32)  # random -> no correlation
+        fit = regression_fit(e, u, np.ones_like(u))
+        assert abs(fit["linear"]["r"]) < 0.1
 
     def test_summarize(self):
         e, u, m = _well_calibrated()

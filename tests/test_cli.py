@@ -207,6 +207,10 @@ class TestEvidentialCLI:
         assert report
         entry = next(iter(report.values()))
         assert "uncertainty" in entry and "ause" in entry, entry.keys()
+        assert "regression" in entry and "linear" in entry["regression"]
+        assert "pr_vs_threshold" in entry
+        import glob as _glob
+        assert _glob.glob(os.path.join(logdir, "analysis", "density_*.png"))
 
     def test_eval_evidential_writes_four_pfm_dirs(self, tmp_path):
         """`cli eval --evidential_ckpt` writes depth/confidence/epistemic/

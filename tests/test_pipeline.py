@@ -201,6 +201,44 @@ class TestInferenceDriver:
             assert (c >= 0).all() and (c <= 1.0001).all()
 
 
+class TestInferenceFanout:
+    def test_fanout_matches_serial(self, tmp_path):
+        """Multi-device eval fleet: batches of same-shape samples sharded
+        over the mesh's data axis write the same PFMs as the serial loop
+        (incl. a ragged tail padded by repetition)."""
+        from aa_rmvsnet_tpu.parallel.mesh import make_mesh
+
+        scene, gt, K, Es = make_plane_scene(tmp_path, H=32, W=40, num_views=3,
+                                            focal=200.0)
+        ds = EvalDataset(str(tmp_path), ["scan1"], nviews=3, ndepths=8,
+                         max_h=32, max_w=40)
+        params = init_params(jax.random.PRNGKey(0), 32, 40)
+
+        out_serial = os.path.join(tmp_path, "serial")
+        run_inference(params, ds,
+                      InferConfig(out_root=out_serial, depth_block=4,
+                                  feature_dtype=np.float32, num_workers=2),
+                      progress=False)
+
+        # 3 samples -> one full batch + ragged tail, on 2 of the 8 devices
+        mesh = make_mesh(data=2, devices=jax.devices()[:2])
+        out_fan = os.path.join(tmp_path, "fanout")
+        stats = run_inference(
+            params, ds,
+            InferConfig(out_root=out_fan, depth_block=4,
+                        feature_dtype=np.float32, num_workers=2, mesh=mesh),
+            progress=False)
+        assert stats["count"] == 3
+
+        for v in range(3):
+            a, _ = read_pfm(os.path.join(out_serial, f"scan1/depth_est_0/{v:08d}.pfm"))
+            b, _ = read_pfm(os.path.join(out_fan, f"scan1/depth_est_0/{v:08d}.pfm"))
+            np.testing.assert_allclose(b, a, atol=1e-5)
+            ca, _ = read_pfm(os.path.join(out_serial, f"scan1/confidence_0/{v:08d}.pfm"))
+            cb, _ = read_pfm(os.path.join(out_fan, f"scan1/confidence_0/{v:08d}.pfm"))
+            np.testing.assert_allclose(cb, ca, atol=1e-5)
+
+
 class TestNativeFusionCore:
     def test_native_matches_numpy_path(self, tmp_path):
         from aa_rmvsnet_tpu.pipeline.native import available, fuse_pair_native

@@ -45,6 +45,10 @@ class TrainConfig:
     evidential_weight_reg: float = 0.1
     fold_omega: bool = False
     pallas_gates: bool = False
+    # Optional mesh with a ``view`` axis: shards source views in the cost
+    # build (one psum per depth block; models/network.py sweep).  Meshes
+    # are hashable, so the frozen config stays a valid static jit arg.
+    mesh: Any = None
 
     def sweep(self) -> SweepConfig:
         return SweepConfig(
@@ -54,6 +58,7 @@ class TrainConfig:
             feature_dtype=self.feature_dtype,
             fold_omega=self.fold_omega,
             pallas_gates=self.pallas_gates,
+            mesh=self.mesh,
         )
 
 

@@ -113,10 +113,17 @@ def main():
 
     args = (params, jnp.asarray(imgs), jnp.asarray(proj), jnp.asarray(depths))
 
-    # Roofline accounting from the compiled program (auditable MFU).
+    # One compile, reused for both the roofline accounting and execution
+    # (a separate ``run(*args)`` call would compile the program a second
+    # time — ~8 min each through the tunnel).
+    t0 = time.perf_counter()
+    compiled = run.lower(*args).compile()
+    print(f"compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    run = compiled
+
     flops = byts = None
     try:
-        cost = run.lower(*args).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
@@ -126,7 +133,7 @@ def main():
 
     # NOTE: the axon TPU tunnel's block_until_ready returns without waiting,
     # so every timing point forces a device-to-host scalar fetch instead.
-    out = run(*args)  # compile + warmup
+    out = run(*args)  # warmup
     _ = float(out["depth"][0, 0, 0])
 
     t0 = time.perf_counter()

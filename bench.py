@@ -27,10 +27,13 @@ Flags via env:
   BENCH_SIZE=HxW (default 864x1152), BENCH_DEPTH (512), BENCH_VIEWS (5),
   BENCH_BLOCK (8), BENCH_ITERS (4), BENCH_DTYPE (bfloat16|float32),
   BENCH_TABLE_DTYPE (fp8|none, default fp8: fp8-quantized warp tables —
-  half the bytes on the dominant gather stream, see ops/patch_sample.py),
-  BENCH_FOLD_OMEGA (1|0, default 1: depth-folded cost layout — removes the
-  4x lane padding on residual volumes), BENCH_PALLAS (1|0, default 0:
-  fused Pallas ConvLSTM gate kernel)
+  ESSENTIAL on this backend: bf16 tables hit a pathological gather path,
+  >30x slower, BENCHMARKS.md round-2 matrix),
+  BENCH_FOLD_OMEGA (1|0, default 0: depth-folded cost layout — measured
+  SLOWER than the default layout on this compiler, 0.218 vs 0.288 maps/s
+  at 432x576/D128; kept as an opt-in lever),
+  BENCH_PALLAS (1|0, default 0: fused Pallas ConvLSTM gate kernel —
+  measured 2.4x slower end-to-end; it breaks XLA's gate fusion)
 
 Besides the headline metric the JSON carries the roofline accounting:
 compiled FLOPs/bytes (XLA cost analysis), the implied ideal time on this
@@ -79,7 +82,7 @@ def main():
         if os.environ.get("BENCH_TABLE_DTYPE", "fp8") == "fp8"
         else None
     )
-    fold_omega = os.environ.get("BENCH_FOLD_OMEGA", "1") == "1"
+    fold_omega = os.environ.get("BENCH_FOLD_OMEGA", "0") == "1"
     pallas_gates = os.environ.get("BENCH_PALLAS", "0") == "1"
 
     ckpt = "/root/reference/checkpoints/model_dtu_v2.ckpt"

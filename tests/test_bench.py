@@ -1,0 +1,40 @@
+"""Benchmark harness contracts: one parseable JSON line per script.
+
+Runs the scaling bench on the virtual CPU mesh (plumbing validation — the
+efficiency value there reflects shared host cores, not ICI, and is NOT
+asserted; the record's structure and platform field are).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_scaling_bench_json_contract():
+    env = dict(os.environ)
+    env.update(
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        BENCH_FORCE_CPU="1",
+        BENCH_SIZE="32x40",
+        BENCH_DEPTH="4",
+        BENCH_VIEWS="2",
+        BENCH_ITERS="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/bench_scaling.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["platform"] == "cpu"
+    assert rec["n_devices"] == 8
+    assert rec["t_1dev_s"] > 0 and rec["t_ndev_s"] > 0
+    assert rec["value"] == pytest.approx(rec["t_1dev_s"] / rec["t_ndev_s"], rel=1e-3)
+    assert rec["mesh"] == {"data": 8, "spatial": 1}

@@ -40,9 +40,12 @@ def _add_eval(sub):
                    help="depth map source; defaults to 'evidential' when "
                         "--evidential_ckpt is given, else the core WTA depth")
     p.add_argument("--save_png", action="store_true", help="PNG previews")
-    p.add_argument("--fold_omega", action="store_true",
-                   help="depth-folded cost layout (removes residual-volume "
-                        "lane padding; numerically identical)")
+    p.add_argument("--fold_omega", nargs="?", const=True, default=False,
+                   type=lambda s: {"0": False, "1": True}.get(s, s),
+                   help="cost-block lane-padding lever: bare flag / '1' = "
+                        "fully depth-folded layout, 'hybrid' = depth-major "
+                        "gather + folded omega only (numerically identical; "
+                        "see SweepConfig.fold_omega)")
     p.add_argument("--pallas_gates", action="store_true",
                    help="fused Pallas ConvLSTM gate kernel")
     p.add_argument("--fp8_tables", action="store_true",

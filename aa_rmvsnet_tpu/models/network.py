@@ -22,6 +22,7 @@ for TPU:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -85,12 +86,18 @@ class SweepConfig:
 
     depth_block: hypotheses per scan step (cost build is parallel inside a
       block).  Must divide D; ``pick_depth_block`` helps choose.
-    fold_omega: build the cost block in a depth-folded channel layout
-      (``(..., Db*32)``): the warp gathers emit pixel-major rows, omega runs
-      as grouped convs (:func:`..models.aggregation.omega_folded`), and the
-      variance reduces in the folded layout.  Removes the 4x lane padding on
-      the residual volumes and the 32x padding on omega's 4-channel
-      intermediates.  Numerically identical to the unfolded path.
+    fold_omega: cost-block lane-padding lever, three settings:
+      ``False`` (default) — depth-major warp gather, omega batched over
+      ``(B*S*Db, H, W, 4)`` (its 4-ch intermediates pad to 128 lanes, 32x).
+      ``"hybrid"`` — same fast depth-major gather, but omega applied in the
+      depth-folded grouped-conv form (Db*4-lane intermediates) on a
+      transposed view of the residual; one extra transpose buys a
+      ~4*Db-fold cut of the block's dominant HBM stream.
+      ``True`` — fully folded layout: pixel-major gather rows, every
+      intermediate carries ``Db*32`` lanes, variance reduces folded
+      (measured slower than default on the tunnel chip — the pixel-major
+      gather order loses more than the folding gains; kept as a lever).
+      All three are numerically identical (parity-tested).
     remat: rematerialize each block in the backward pass (training).
     collect_volume: also return the full (B, D, H, W) regularized cost
       volume (needed for the training softmax / evidential head).
@@ -118,7 +125,7 @@ class SweepConfig:
     collect_volume: bool = True
     feature_dtype: Any = jnp.float32
     table_dtype: Any = None
-    fold_omega: bool = False
+    fold_omega: Any = False  # False | "hybrid" | True
     pallas_gates: bool = False
     mesh: Any = None
 
@@ -161,6 +168,7 @@ def _build_cost_block(
     transes: jnp.ndarray,
     depth_block: jnp.ndarray,
     table_scales: jnp.ndarray | None = None,
+    hybrid_omega: bool = False,
 ) -> jnp.ndarray:
     """Warp + squared residual + omega reweight + view mean for one block.
 
@@ -172,6 +180,13 @@ def _build_cost_block(
       depth_block: ``(B, Db)``.
       table_scales: ``(S, B, 1, 4C)`` dequantization factors when the tables
         are fp8-quantized (``build_patch_table_quant``), else None.
+      hybrid_omega: apply omega in the depth-folded grouped-conv form
+        (:func:`..models.aggregation.omega_folded`) on a transposed view of
+        the residual, while keeping this path's depth-major warp gather.
+        Omega's 4-channel intermediates are the single biggest HBM stream
+        of the block (32x lane padding); folding Db volumes into channels
+        shrinks that to 32/(4*Db)x for one extra transpose of the residual.
+        Numerically identical.
 
     Returns:
       ``(Db, B, H, W, C)`` negated variance cost slices (regularizer input).
@@ -197,14 +212,31 @@ def _build_cost_block(
         )  # (S,B,Db,H,W,C)
     residual_sq = (warped - ref_feat[None, :, None]) ** 2
 
-    # Batch omega over (B, S, Db) with the data-sharded B axis OUTERMOST in
-    # the merged conv batch: merging a sharded axis inside a merged
-    # dimension ((S*B*Db)) makes GSPMD replicate the conv and psum
-    # duplicate gradient contributions (observed: omega grads scaled by the
-    # data-axis size); B-major merge keeps the merged axis cleanly sharded.
-    flat = residual_sq.transpose(1, 0, 2, 3, 4, 5).reshape(B * S * Db, H, W, C)
-    weights = AARMVSNetCore().apply(params, flat, method=AARMVSNetCore.omega_weights)
-    weights = weights.reshape(B, S, Db, H, W, 1).transpose(1, 0, 2, 3, 4, 5)
+    if hybrid_omega:
+        # Fold the Db axis into channels for the omega application only:
+        # intermediates carry Db*4 lanes instead of 4 (32x lane padding ->
+        # 32/(4*Db)x).  B stays outermost in the merged batch (see note
+        # below).
+        flat = residual_sq.transpose(1, 0, 3, 4, 2, 5).reshape(
+            B * S, H, W, Db * C
+        )
+        weights = omega_folded(params["params"]["omega"], flat, Db)
+        weights = (
+            weights.reshape(B, S, H, W, Db)
+            .transpose(1, 0, 4, 2, 3)[..., None]
+        )  # (S, B, Db, H, W, 1)
+    else:
+        # Batch omega over (B, S, Db) with the data-sharded B axis OUTERMOST
+        # in the merged conv batch: merging a sharded axis inside a merged
+        # dimension ((S*B*Db)) makes GSPMD replicate the conv and psum
+        # duplicate gradient contributions (observed: omega grads scaled by
+        # the data-axis size); B-major merge keeps the merged axis cleanly
+        # sharded.
+        flat = residual_sq.transpose(1, 0, 2, 3, 4, 5).reshape(B * S * Db, H, W, C)
+        weights = AARMVSNetCore().apply(
+            params, flat, method=AARMVSNetCore.omega_weights
+        )
+        weights = weights.reshape(B, S, Db, H, W, 1).transpose(1, 0, 2, 3, 4, 5)
 
     variance = jnp.sum((weights + 1.0) * residual_sq, axis=0) / S  # (B,Db,H,W,C)
     return -variance.transpose(1, 0, 2, 3, 4)
@@ -348,7 +380,12 @@ def sweep(
 
         return jax.lax.scan(body, states, cost_block)
 
-    build = _build_cost_block_folded if config.fold_omega else _build_cost_block
+    if config.fold_omega == "hybrid":
+        build = functools.partial(_build_cost_block, hybrid_omega=True)
+    elif config.fold_omega:
+        build = _build_cost_block_folded
+    else:
+        build = _build_cost_block
 
     if view_parallel:
         # Manual over the view axis only (data/spatial stay GSPMD-auto):

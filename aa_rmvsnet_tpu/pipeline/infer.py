@@ -46,7 +46,7 @@ class InferConfig:
     evidential_params: Any = None  # optional evidential head params
     save_png_previews: bool = False
     num_workers: int = 8
-    fold_omega: bool = False  # depth-folded cost layout (lane-padding fix)
+    fold_omega: Any = False  # False | "hybrid" | True (SweepConfig.fold_omega)
     pallas_gates: bool = False  # fused ConvLSTM gate kernel
     table_dtype: Any = None  # e.g. jnp.float8_e4m3fn for fp8 warp tables
     # Multi-device fan-out: with a mesh whose ``data`` axis is > 1, samples

@@ -43,7 +43,7 @@ class TrainConfig:
     evidential: bool = False
     maxdisp: int = 32
     evidential_weight_reg: float = 0.1
-    fold_omega: bool = False
+    fold_omega: Any = False  # False | "hybrid" | True (SweepConfig.fold_omega)
     pallas_gates: bool = False
     # Optional mesh with a ``view`` axis: shards source views in the cost
     # build (one psum per depth block; models/network.py sweep).  Meshes

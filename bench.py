@@ -29,9 +29,10 @@ Flags via env:
   BENCH_TABLE_DTYPE (fp8|none, default fp8: fp8-quantized warp tables —
   ESSENTIAL on this backend: bf16 tables hit a pathological gather path,
   >30x slower, BENCHMARKS.md round-2 matrix),
-  BENCH_FOLD_OMEGA (1|0, default 0: depth-folded cost layout — measured
-  SLOWER than the default layout on this compiler, 0.218 vs 0.288 maps/s
-  at 432x576/D128; kept as an opt-in lever),
+  BENCH_FOLD_OMEGA (1|0|hybrid, default 0.  "1" = fully depth-folded cost
+  layout — measured SLOWER than the default (0.218 vs 0.288 maps/s at
+  432x576/D128; pixel-major gather order loses more than folding gains).
+  "hybrid" = depth-major gather + folded omega application only),
   BENCH_PALLAS (1|0, default 0: fused Pallas ConvLSTM gate kernel —
   measured 2.4x slower end-to-end; it breaks XLA's gate fusion)
 
@@ -82,7 +83,8 @@ def main():
         if os.environ.get("BENCH_TABLE_DTYPE", "fp8") == "fp8"
         else None
     )
-    fold_omega = os.environ.get("BENCH_FOLD_OMEGA", "0") == "1"
+    fo_env = os.environ.get("BENCH_FOLD_OMEGA", "0")
+    fold_omega = "hybrid" if fo_env == "hybrid" else fo_env == "1"
     pallas_gates = os.environ.get("BENCH_PALLAS", "0") == "1"
 
     ckpt = "/root/reference/checkpoints/model_dtu_v2.ckpt"

@@ -95,8 +95,12 @@ def main():
     rot_grids, transes = terms_fn(src_projs, proj[:, 0])
 
     # --- one cost block, both layouts ---
+    import functools
+
     for name, build in (("unfolded", _build_cost_block),
-                        ("folded", _build_cost_block_folded)):
+                        ("folded", _build_cost_block_folded),
+                        ("hybrid", functools.partial(
+                            _build_cost_block, hybrid_omega=True))):
         fn = jax.jit(
             lambda p, rf, tb, rg, tr, db, _b=build: _b(p, rf, tb, rg, tr, db, None)
         )

@@ -337,13 +337,14 @@ class TestSweepLevers:
     def params(self):
         return load_torch_checkpoint(CKPT)
 
-    def test_fold_omega_matches_default(self, params):
+    @pytest.mark.parametrize("mode", [True, "hybrid"])
+    def test_fold_omega_matches_default(self, params, mode):
         imgs, proj, depths = _random_scene(seed=4)
         base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
                        jnp.asarray(depths), SweepConfig(depth_block=4))
         folded = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
                          jnp.asarray(depths),
-                         SweepConfig(depth_block=4, fold_omega=True))
+                         SweepConfig(depth_block=4, fold_omega=mode))
         # cost values are O(30); different reduce order costs ~3e-7 relative
         np.testing.assert_allclose(
             np.asarray(folded["cost_volume"]), np.asarray(base["cost_volume"]),
@@ -357,7 +358,8 @@ class TestSweepLevers:
             np.asarray(base["photometric_confidence"]), atol=1e-5,
         )
 
-    def test_fold_omega_with_fp8_tables(self, params):
+    @pytest.mark.parametrize("mode", [True, "hybrid"])
+    def test_fold_omega_with_fp8_tables(self, params, mode):
         """The folded warp reorder must sample the same quantized table values
         as the default path (same tables, different gather order)."""
         imgs, proj, depths = _random_scene(seed=5)
@@ -366,7 +368,7 @@ class TestSweepLevers:
                        jnp.asarray(depths), SweepConfig(**cfg))
         folded = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
                          jnp.asarray(depths),
-                         SweepConfig(**cfg, fold_omega=True))
+                         SweepConfig(**cfg, fold_omega=mode))
         np.testing.assert_allclose(
             np.asarray(folded["cost_volume"]), np.asarray(base["cost_volume"]),
             atol=5e-4,

@@ -516,7 +516,21 @@ def cmd_analyze(args):
                 d["depth_est"], d["depth_gt"], d["mask"],
                 d["alea_1"], d["epis_1"],
             )
+        if "alea_1" in d.files and "epis_1" in d.files:
+            m = d["mask"] > 0.5
+            entry["means"] = {
+                "aleatoric": float(d["alea_1"][m].mean()) if m.any() else 0.0,
+                "epistemic": float(d["epis_1"][m].mean()) if m.any() else 0.0,
+            }
         report[step] = entry
+
+    # Cross-dump means comparison (reference statistics.py:1352-1365 does
+    # this across scenes; here the entries are training steps).
+    means = {s: e["means"] for s, e in report.items() if "means" in e}
+    if means:
+        analysis.plot_means_comparison(
+            os.path.join(out_dir, "means_comparison.png"), means
+        )
 
     report_path = os.path.join(out_dir, "report.json")
     with open(report_path, "w") as f:

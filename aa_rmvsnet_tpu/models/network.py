@@ -221,10 +221,9 @@ def _build_cost_block(
             B * S, H, W, Db * C
         )
         weights = omega_folded(params["params"]["omega"], flat, Db)
-        weights = (
-            weights.reshape(B, S, H, W, Db)
-            .transpose(1, 0, 4, 2, 3)[..., None]
-        )  # (S, B, Db, H, W, 1)
+        # (S, B, Db, H, W): no trailing size-1 axis — a materialized
+        # (..., 1) tensor is lane-padded 128x; broadcast in the multiply.
+        weights = weights.reshape(B, S, H, W, Db).transpose(1, 0, 4, 2, 3)
     else:
         # Batch omega over (B, S, Db) with the data-sharded B axis OUTERMOST
         # in the merged conv batch: merging a sharded axis inside a merged
@@ -236,9 +235,11 @@ def _build_cost_block(
         weights = AARMVSNetCore().apply(
             params, flat, method=AARMVSNetCore.omega_weights
         )
-        weights = weights.reshape(B, S, Db, H, W, 1).transpose(1, 0, 2, 3, 4, 5)
+        weights = weights[..., 0].reshape(B, S, Db, H, W).transpose(1, 0, 2, 3, 4)
 
-    variance = jnp.sum((weights + 1.0) * residual_sq, axis=0) / S  # (B,Db,H,W,C)
+    variance = (
+        jnp.sum((weights[..., None] + 1.0) * residual_sq, axis=0) / S
+    )  # (B, Db, H, W, C)
     return -variance.transpose(1, 0, 2, 3, 4)
 
 

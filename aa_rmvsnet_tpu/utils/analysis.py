@@ -233,6 +233,36 @@ def summarize(error, uncertainty, mask):
     }
 
 
+def plot_means_comparison(path, means: dict):
+    """Grouped bar chart of mean aleatoric/epistemic uncertainty per entry
+    (per scene or per training step) — the reference's cross-scene means
+    comparison, statistics.py:1352-1365.
+
+    Args:
+      means: ``{label: {"aleatoric": float, "epistemic": float}}``.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    labels = list(means)
+    alea = [means[k].get("aleatoric", 0.0) for k in labels]
+    epis = [means[k].get("epistemic", 0.0) for k in labels]
+    x = np.arange(len(labels))
+    fig, ax = plt.subplots(figsize=(max(6, 0.8 * len(labels)), 4))
+    ax.bar(x - 0.2, alea, width=0.4, label="aleatoric")
+    ax.bar(x + 0.2, epis, width=0.4, label="epistemic")
+    ax.set_xticks(x)
+    ax.set_xticklabels(labels, rotation=45, ha="right")
+    ax.set_ylabel("mean uncertainty")
+    ax.set_title("mean uncertainty comparison")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
 def plot_report(path, ref_image, depth_est, depth_gt, mask, aleatoric, epistemic):
     """Figure grid: image / error / aleatoric / epistemic + curves
     (reference evidential/plot.py:8-123 + statistics heatmaps)."""

@@ -62,10 +62,21 @@ V100_BASELINE_MAPS_PER_S = 0.10
 # without re-deriving the hardware argument.
 MEASURED_PEAK_FLOPS = 2.9e12  # chained 2048^3 bf16 matmuls
 MEASURED_PEAK_BYTES = 115e9  # elementwise copy chain (read+write)
+# This chip's gathers are ROW-RATE limited, not byte limited: 128-lane rows
+# issue at ~38 Mrows/s (only ~10 GB/s) regardless of row bytes
+# (scripts/profile_stages.py microbench).  The warp gather needs one row
+# per (src-view, depth, pixel), which makes row issue rate the binding
+# ceiling of the whole sweep on this host.
+MEASURED_GATHER_ROWS_PER_S = 38.2e6
 
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # Contract-test hook: the axon plugin ignores JAX_PLATFORMS=cpu
+        # (CLAUDE.md), so CPU runs must force the platform via the config.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from aa_rmvsnet_tpu.models.network import SweepConfig, forward, init_params
@@ -160,14 +171,30 @@ def main():
             "depth_block": block,
         },
     }
+    # One warp-gather row per (src-view, depth, pixel): the binding
+    # resource on this chip (see MEASURED_GATHER_ROWS_PER_S).
+    gather_rows = (V - 1) * D * H * W
+    t_gather = gather_rows / MEASURED_GATHER_ROWS_PER_S
+    record.update(
+        gather_mrows=round(gather_rows / 1e6, 3),
+        gather_roofline_fraction=round(t_gather / dt, 3),
+    )
     if flops and byts:
         # Ideal time on this chip's measured ceilings; fraction of roofline
         # actually achieved.  mfu is against the measured compute ceiling.
-        t_ideal = max(flops / MEASURED_PEAK_FLOPS, byts / MEASURED_PEAK_BYTES)
+        t_ideal = max(
+            flops / MEASURED_PEAK_FLOPS, byts / MEASURED_PEAK_BYTES, t_gather
+        )
         record.update(
             tflops=round(flops / 1e12, 2),
             gbytes=round(byts / 1e9, 2),
-            bound="bandwidth" if byts / MEASURED_PEAK_BYTES > flops / MEASURED_PEAK_FLOPS else "compute",
+            bound=(
+                "gather-rows"
+                if t_gather >= max(flops / MEASURED_PEAK_FLOPS, byts / MEASURED_PEAK_BYTES)
+                else "bandwidth"
+                if byts / MEASURED_PEAK_BYTES > flops / MEASURED_PEAK_FLOPS
+                else "compute"
+            ),
             roofline_fraction=round(t_ideal / dt, 3),
             mfu=round(flops / (dt * MEASURED_PEAK_FLOPS), 4),
         )

@@ -23,13 +23,16 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, iters=3, warmup=1):
+    # Fetch ONE scalar per timing point: the leading .ravel()[0] slice runs
+    # on device and transfers 4 bytes.  np.asarray(out) here would pull the
+    # whole output through the ~7 MB/s tunnel link and swamp the kernel
+    # time (an 80 MB feature map = ~11 s of pure transfer).
+    fetch = lambda out: float(jax.tree.leaves(out)[0].ravel()[0])
     for _ in range(warmup):
-        out = fn(*args)
-        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        fetch(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        fetch(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 

@@ -116,6 +116,17 @@ class TestAnalytics:
         plot_report(path, np.zeros((32, 32, 3)), gt + e, gt, m, u, u * 0.1)
         assert path.exists() and path.stat().st_size > 0
 
+    def test_plot_means_comparison(self, tmp_path):
+        from aa_rmvsnet_tpu.utils.analysis import plot_means_comparison
+
+        path = tmp_path / "means.png"
+        plot_means_comparison(
+            path,
+            {"scan1": {"aleatoric": 1.0, "epistemic": 0.5},
+             "scan2": {"aleatoric": 2.0, "epistemic": 0.2}},
+        )
+        assert path.exists() and path.stat().st_size > 0
+
 
 class TestTrainLogger:
     def test_scalars_images_dump(self, tmp_path):

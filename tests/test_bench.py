@@ -38,3 +38,32 @@ def test_scaling_bench_json_contract():
     assert rec["t_1dev_s"] > 0 and rec["t_ndev_s"] > 0
     assert rec["value"] == pytest.approx(rec["t_1dev_s"] / rec["t_ndev_s"], rel=1e-3)
     assert rec["mesh"] == {"data": 8, "spatial": 1}
+
+
+@pytest.mark.slow
+def test_bench_json_contract():
+    """bench.py must print one JSON line with the headline metric plus the
+    roofline accounting the driver records (gather-row + byte/FLOP)."""
+    env = dict(os.environ)
+    env.update(
+        BENCH_FORCE_CPU="1",
+        BENCH_SIZE="32x40",
+        BENCH_DEPTH="8",
+        BENCH_VIEWS="2",
+        BENCH_BLOCK="4",
+        BENCH_ITERS="1",
+        BENCH_DTYPE="float32",
+        BENCH_TABLE_DTYPE="none",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in rec, rec
+    assert rec["value"] > 0
+    assert rec["gather_mrows"] == pytest.approx(1 * 8 * 32 * 40 / 1e6, abs=1e-3)
+    assert rec["gather_roofline_fraction"] > 0

@@ -211,6 +211,10 @@ class TestEvidentialCLI:
         assert "pr_vs_threshold" in entry
         import glob as _glob
         assert _glob.glob(os.path.join(logdir, "analysis", "density_*.png"))
+        assert "means" in entry and "aleatoric" in entry["means"]
+        assert os.path.exists(
+            os.path.join(logdir, "analysis", "means_comparison.png")
+        )
 
     def test_eval_evidential_writes_four_pfm_dirs(self, tmp_path):
         """`cli eval --evidential_ckpt` writes depth/confidence/epistemic/

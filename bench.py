@@ -77,6 +77,16 @@ def main():
         # Contract-test hook: the axon plugin ignores JAX_PLATFORMS=cpu
         # (CLAUDE.md), so CPU runs must force the platform via the config.
         jax.config.update("jax_platforms", "cpu")
+    try:
+        # Persistent compilation cache: tunnel compiles run 5-30 min, so a
+        # repeated bench at the same config should not pay twice.
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("BENCH_CACHE_DIR", "/tmp/aa_rmvsnet_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
     import jax.numpy as jnp
 
     from aa_rmvsnet_tpu.models.network import SweepConfig, forward, init_params

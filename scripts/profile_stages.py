@@ -21,6 +21,12 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache — tunnel compiles are minutes each
+    jax.config.update("jax_compilation_cache_dir", "/tmp/aa_rmvsnet_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 
 def timeit(fn, *args, iters=3, warmup=1):
     # Fetch ONE scalar per timing point: the leading .ravel()[0] slice runs

@@ -48,6 +48,12 @@ def _add_eval(sub):
                         "see SweepConfig.fold_omega)")
     p.add_argument("--pallas_gates", action="store_true",
                    help="fused Pallas ConvLSTM gate kernel")
+    p.add_argument("--packed_rows", default="auto",
+                   type=lambda s: {"0": False, "1": True}.get(s, "auto"),
+                   help="one 4x4 warp row per (view, pixel) serving the "
+                        "whole depth block (gather-row-count lever); "
+                        "'auto' (default) enables it per sample when the "
+                        "2 px exactness gate passes, 1/0 force on/off")
     p.add_argument("--fp8_tables", action="store_true",
                    help="fp8-quantized warp patch tables (half the bytes on "
                         "the dominant gather stream)")
@@ -219,6 +225,7 @@ def cmd_eval(args):
             depth_source=depth_source, evidential_params=ev_params,
             save_png_previews=args.save_png,
             fold_omega=args.fold_omega, pallas_gates=args.pallas_gates,
+            packed_rows=args.packed_rows,
             table_dtype=jnp.float8_e4m3fn if args.fp8_tables else None,
             mesh=mesh,
         ),

@@ -32,11 +32,14 @@ from flax import linen as nn
 from .feature import FeatNet
 from .aggregation import InterViewAA, omega_folded
 from .regularizer import UNetConvLSTM, init_states
-from ..ops.homography import homography_terms, plane_sweep_xy
+from ..ops.homography import homography_terms, max_depth_step_displacement, plane_sweep_xy
 from ..ops.patch_sample import (
     build_patch_table,
+    build_patch_table4,
+    build_patch_table4_quant,
     build_patch_table_quant,
     patch_bilinear_sample,
+    patch_bilinear_sample_packed,
 )
 
 
@@ -98,6 +101,13 @@ class SweepConfig:
       (measured slower than default on the tunnel chip — the pixel-major
       gather order loses more than the folding gains; kept as a lever).
       All three are numerically identical (parity-tested).
+    packed_rows: ONE 4x4-patch gather row per (view, pixel) serves the
+      whole depth block — the row-count lever for gather-row-rate-limited
+      backends (~Db/1.6x fewer row issues; BENCHMARKS.md round-2).  Exact
+      ONLY when every pixel's per-block warp span is <= 2 px; gate with
+      :func:`pick_packed_rows` on the host (fine depth sampling — e.g. the
+      DTU eval sweep at ~0.03 px/step — always qualifies).  Overrides
+      fold_omega (the packed layout is already depth-folded).
     remat: rematerialize each block in the backward pass (training).
     collect_volume: also return the full (B, D, H, W) regularized cost
       volume (needed for the training softmax / evidential head).
@@ -126,6 +136,7 @@ class SweepConfig:
     feature_dtype: Any = jnp.float32
     table_dtype: Any = None
     fold_omega: Any = False  # False | "hybrid" | True
+    packed_rows: bool = False
     pallas_gates: bool = False
     mesh: Any = None
 
@@ -292,6 +303,88 @@ def _build_cost_block_folded(
     return -variance.transpose(3, 0, 1, 2, 4)  # (Db, B, H, W, C)
 
 
+def _build_cost_block_packed(
+    params,
+    ref_feat: jnp.ndarray,
+    src_tables: jnp.ndarray,
+    rot_grids: jnp.ndarray,
+    transes: jnp.ndarray,
+    depth_block: jnp.ndarray,
+    table_scales: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Packed-row variant: ONE 4x4-patch gather row per (view, pixel)
+    serves the whole depth block.
+
+    On gather-row-rate-limited backends this cuts the binding resource of
+    the sweep ~Db/1.6-fold (BENCHMARKS.md round-2).  The packed sample
+    emits pixel-major ``(B, H*W, Db, C)``, so omega and the variance run
+    in the depth-folded layout with no extra transpose.
+
+    EXACT only when every pixel's Db warp positions span <= 2 px per axis;
+    callers gate on ``ops.homography.max_depth_step_displacement`` (see
+    ``pick_packed_rows``).
+    """
+    S, B, HW, C16 = src_tables.shape
+    _, H, W, C = ref_feat.shape
+    Db = depth_block.shape[1]
+
+    def warp_one_view(table, rot_grid, trans, scale):
+        x, y = plane_sweep_xy(rot_grid, trans, depth_block)  # (B, Db, H*W)
+        xg = x.transpose(0, 2, 1)  # (B, H*W, Db): groups = pixels
+        yg = y.transpose(0, 2, 1)
+        out = patch_bilinear_sample_packed(
+            table, xg, yg, H, W, scale=scale, compute_dtype=ref_feat.dtype
+        )  # (B, H*W, Db, C)
+        return out.reshape(B, H, W, Db * C)
+
+    if table_scales is None:
+        warped = jax.vmap(lambda t, r, tr: warp_one_view(t, r, tr, None))(
+            src_tables, rot_grids, transes
+        )
+    else:
+        warped = jax.vmap(warp_one_view)(src_tables, rot_grids, transes, table_scales)
+
+    ref_tiled = jnp.tile(ref_feat, (1, 1, 1, Db))  # (B, H, W, Db*C)
+    residual_sq = (warped - ref_tiled[None]) ** 2  # (S, B, H, W, Db*C)
+
+    flat = residual_sq.transpose(1, 0, 2, 3, 4).reshape(B * S, H, W, Db * C)
+    weights = omega_folded(params["params"]["omega"], flat, Db)  # (B*S,H,W,Db)
+    weights = weights.reshape(B, S, H, W, Db).transpose(1, 0, 2, 3, 4)
+
+    r6 = residual_sq.reshape(S, B, H, W, Db, C)
+    variance = jnp.sum((weights[..., None] + 1.0) * r6, axis=0) / S
+    return -variance.transpose(3, 0, 1, 2, 4)  # (Db, B, H, W, C)
+
+
+def pick_packed_rows(
+    proj_matrices, depth_values, height: int, width: int, depth_block: int,
+    margin: float = 0.95,
+) -> bool:
+    """Host-side gate for ``SweepConfig.packed_rows``: True iff every
+    depth block's warp positions are guaranteed to span <= 2 px per pixel
+    (the packed row's exactness contract), with a safety ``margin``.
+
+    Args:
+      proj_matrices: ``(V, 4, 4)`` or ``(B, V, 4, 4)`` numpy/array.
+      depth_values: ``(D,)`` or ``(B, D)`` sweep depths.
+    """
+    import numpy as np
+
+    pm = np.asarray(proj_matrices)
+    dv = np.asarray(depth_values)
+    if pm.ndim == 3:
+        pm = pm[None]
+    if dv.ndim == 1:
+        dv = dv[None]
+    for b in range(pm.shape[0]):
+        step = max_depth_step_displacement(
+            pm[b, 1:], pm[b, 0], dv[b], height, width
+        )
+        if (depth_block - 1) * step > 2.0 * margin:
+            return False
+    return True
+
+
 def sweep(
     params,
     features: jnp.ndarray,
@@ -334,12 +427,16 @@ def sweep(
     # One patch table per source view: each warp sample becomes a single
     # 128-lane gather row (see ops/patch_sample.py).  Optionally stored in
     # fp8 with per-channel scales — half the bytes on the dominant stream.
+    build_table = build_patch_table4 if config.packed_rows else build_patch_table
+    build_table_quant = (
+        build_patch_table4_quant if config.packed_rows else build_patch_table_quant
+    )
     if config.table_dtype is not None and config.table_dtype != dtype:
         src_tables, table_scales = jax.vmap(
-            lambda f: build_patch_table_quant(f, config.table_dtype)
+            lambda f: build_table_quant(f, config.table_dtype)
         )(src_feats)
     else:
-        src_tables = jax.vmap(build_patch_table)(src_feats)
+        src_tables = jax.vmap(build_table)(src_feats)
         table_scales = None
 
     ref_proj = proj_matrices[:, 0]
@@ -381,7 +478,9 @@ def sweep(
 
         return jax.lax.scan(body, states, cost_block)
 
-    if config.fold_omega == "hybrid":
+    if config.packed_rows:
+        build = _build_cost_block_packed
+    elif config.fold_omega == "hybrid":
         build = functools.partial(_build_cost_block, hybrid_omega=True)
     elif config.fold_omega:
         build = _build_cost_block_folded

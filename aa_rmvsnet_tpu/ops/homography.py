@@ -95,6 +95,62 @@ def plane_sweep_coords(
     return coords.reshape(B, D, height, width, 2)
 
 
+def max_depth_step_displacement(
+    src_projs, ref_proj, depth_values, height: int, width: int
+) -> float:
+    """Host-side (numpy) upper bound on the per-depth-step warp displacement.
+
+    The packed 4x4-row gather (``ops.patch_sample.patch_bilinear_sample_packed``)
+    is exact only when each group of K consecutive depth hypotheses spans
+    <= 2 px; the caller checks ``(K - 1) * max_depth_step_displacement(...)
+    <= 2``.  Per pixel, the warp x(d) = (alpha*d + beta)/(gamma*d + eps) is
+    a Moebius map of depth, so its per-step displacement is monotone in d
+    wherever the denominator keeps its sign (all depths in front of the
+    camera) — the max over the sweep is attained at an endpoint, and
+    evaluating the first and last depth pairs over the full pixel grid
+    bounds every step.
+
+    Args:
+      src_projs: ``(S, 4, 4)`` source projection matrices (numpy).
+      ref_proj: ``(4, 4)``.
+      depth_values: ``(D,)`` sweep depths in order.
+      height, width: feature-map size.
+
+    Returns:
+      max over views/pixels/axes of ``|p(d_{i+1}) - p(d_i)|`` in pixels
+      at the sweep's endpoint steps.
+    """
+    import numpy as np
+
+    src_projs = np.asarray(src_projs, np.float64)
+    ref_proj = np.asarray(ref_proj, np.float64)
+    d = np.asarray(depth_values, np.float64)
+    if d.size < 2:
+        return 0.0
+    probe = np.array([d[0], d[1], d[-2], d[-1]])
+
+    y, x = np.mgrid[0:height, 0:width].astype(np.float64)
+    pix = np.stack([x.ravel(), y.ravel(), np.ones(height * width)])  # (3, N)
+
+    worst = 0.0
+    for sp in src_projs:
+        proj = sp @ np.linalg.inv(ref_proj)
+        rot_grid = proj[:3, :3] @ pix  # (3, N)
+        trans = proj[:3, 3:4]
+        xyz = rot_grid[None] * probe[:, None, None] + trans[None]  # (4, 3, N)
+        z = xyz[:, 2]
+        z = np.where(z == 0.0, z + 1e-4, z)
+        px = xyz[:, 0] / z
+        py = xyz[:, 1] / z
+        for a, b in ((0, 1), (2, 3)):
+            worst = max(
+                worst,
+                float(np.abs(px[b] - px[a]).max()),
+                float(np.abs(py[b] - py[a]).max()),
+            )
+    return worst
+
+
 def warp_src_feature(
     src_feat: jnp.ndarray,
     src_proj: jnp.ndarray,

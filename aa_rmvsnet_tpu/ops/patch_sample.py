@@ -132,3 +132,102 @@ def patch_bilinear_sample(
 
     patches = rows.reshape(B, -1, 4, C)
     return jnp.sum(patches * w4.astype(out_dtype)[..., None], axis=2)
+
+
+def build_patch_table4(feat: jnp.ndarray) -> jnp.ndarray:
+    """4x4-neighborhood table: row ``y*W + x`` holds the 16 texels
+    ``[(y..y+3) x (x..x+3)]`` flattened to ``16*C = 512`` lanes (for C=32:
+    four full TPU vector rows, zero lane-padding waste).
+
+    One row serves a GROUP of samples whose bilinear footprints all fit in
+    the 4x4 window — in the plane sweep, several consecutive depth
+    hypotheses at the same pixel (see :func:`patch_bilinear_sample_packed`).
+    On gather-row-rate-limited backends (BENCHMARKS.md round-2: ~38 Mrows/s
+    at 128 lanes vs ~25 Mrows/s at 512 on the tunnel chip) serving K depths
+    per row cuts warp-gather time ~K/1.6-fold.
+    """
+    B, H, W, C = feat.shape
+    padded = jnp.pad(feat, ((0, 0), (0, 3), (0, 3), (0, 0)))
+    taps = [
+        padded[:, dy : H + dy, dx : W + dx]
+        for dy in range(4)
+        for dx in range(4)
+    ]
+    return jnp.concatenate(taps, axis=-1).reshape(B, H * W, 16 * C)
+
+
+def build_patch_table4_quant(feat: jnp.ndarray, dtype=jnp.float8_e4m3fn):
+    """fp8 variant of :func:`build_patch_table4` (per-channel scales as in
+    :func:`build_patch_table_quant`).  Returns ``(table, scale)`` with
+    ``scale`` shaped ``(B, 1, 16C)``."""
+    B, H, W, C = feat.shape
+    feat32 = feat.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(feat32), axis=(1, 2), keepdims=True)
+    scale = jnp.maximum(amax / _F8_MAX, 1e-12)
+    q = (feat32 / scale).astype(dtype)
+    table = build_patch_table4(q)
+    return table, jnp.tile(scale.reshape(B, 1, C), (1, 1, 16))
+
+
+def patch_bilinear_sample_packed(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    height: int,
+    width: int,
+    scale: jnp.ndarray | None = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Bilinear-sample K grouped coordinates per ONE 4x4-patch gather row.
+
+    Args:
+      table: ``(B, H*W, 16C)`` from :func:`build_patch_table4`.
+      x, y: ``(B, G, K)`` fractional pixel coordinates; the K samples of a
+        group share one gather (in the sweep: one pixel, K consecutive
+        depth hypotheses).
+      scale: optional ``(B, 1, 16C)`` dequantization factors.
+
+    Returns:
+      ``(B, G, K, C)`` samples.
+
+    EXACTNESS CONTRACT: results equal per-sample bilinear (torch
+    grid_sample zeros / align_corners=True semantics) iff every group's
+    coordinate span satisfies ``max-min <= 2`` px in both axes — then each
+    sample's 2x2 footprint lies inside the 4x4 window anchored at the
+    group-min floor (out-of-image texels are zero in the table, and taps
+    farther than 1 px get zero tent weight, reproducing every border
+    case).  The caller must guarantee the span bound — in the plane sweep
+    it follows from ``(K-1) * max per-depth-step displacement <= 2``,
+    checked on host by ``models.network.max_depth_step_displacement``.
+    Groups violating the bound silently lose taps; do not use without the
+    check.
+    """
+    B, G, K = x.shape
+    _, HW, C16 = table.shape
+    C = C16 // 16
+    out_dtype = compute_dtype or table.dtype
+
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    # Group anchor: min floor, clipped into the image like the 2x2 path —
+    # every clamping case again falls out of zero-padding + tent weights.
+    ax = jnp.clip(jnp.floor(jnp.min(x, axis=2)), 0, width - 1)  # (B, G)
+    ay = jnp.clip(jnp.floor(jnp.min(y, axis=2)), 0, height - 1)
+    idx = (ay * width + ax).astype(jnp.int32)
+
+    rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, G, 16C)
+    rows = rows.astype(out_dtype)
+    if scale is not None:
+        rows = rows * scale.astype(out_dtype)
+    patches = rows.reshape(B, G, 4, 4, C)  # (B, G, ty, tx, C)
+
+    # Per-sample tent weights over the 4 patch rows / cols; separable
+    # contraction keeps it at 20C (not 32C) MACs per sample on the VPU.
+    taps = jnp.arange(4.0)
+    tent = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    wx = tent(x[..., None] - (ax[:, :, None, None] + taps))  # (B, G, K, 4)
+    wy = tent(y[..., None] - (ay[:, :, None, None] + taps))
+    tmp = jnp.einsum(
+        "bgrtc,bgkt->bgkrc", patches, wx.astype(out_dtype)
+    )  # contract cols
+    return jnp.einsum("bgkrc,bgkr->bgkc", tmp, wy.astype(out_dtype))

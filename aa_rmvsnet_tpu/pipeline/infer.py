@@ -47,6 +47,10 @@ class InferConfig:
     save_png_previews: bool = False
     num_workers: int = 8
     fold_omega: Any = False  # False | "hybrid" | True (SweepConfig.fold_omega)
+    # "auto" resolves per sample via the pick_packed_rows exactness gate
+    # (one 4x4 row per (view, pixel) serving the whole depth block; the
+    # gather-row-count lever, SweepConfig.packed_rows).
+    packed_rows: Any = "auto"  # "auto" | True | False
     pallas_gates: bool = False  # fused ConvLSTM gate kernel
     table_dtype: Any = None  # e.g. jnp.float8_e4m3fn for fp8 warp tables
     # Multi-device fan-out: with a mesh whose ``data`` axis is > 1, samples
@@ -57,7 +61,7 @@ class InferConfig:
     mesh: Any = None
 
 
-def _jitted_forward(config: InferConfig, with_volume: bool):
+def _jitted_forward(config: InferConfig, with_volume: bool, packed: bool = False):
     sweep_config = SweepConfig(
         depth_block=config.depth_block,
         collect_volume=with_volume,
@@ -65,6 +69,7 @@ def _jitted_forward(config: InferConfig, with_volume: bool):
         fold_omega=config.fold_omega,
         pallas_gates=config.pallas_gates,
         table_dtype=config.table_dtype,
+        packed_rows=packed,
     )
 
     @jax.jit
@@ -108,7 +113,28 @@ def run_inference(
     # eval.py:129-169 writes all four PFM dirs); depth_source only decides
     # whether the depth PFM is the WTA depth or the evidential gamma.
     need_volume = config.evidential_params is not None
-    run = _jitted_forward(config, with_volume=need_volume)
+    # One compiled variant per packed-rows decision ("auto" resolves per
+    # sample; scenes in one run usually share geometry, so this stays at a
+    # single cache entry in practice).
+    _runs: dict = {}
+
+    def get_run(packed: bool):
+        if packed not in _runs:
+            _runs[packed] = _jitted_forward(
+                config, with_volume=need_volume, packed=packed
+            )
+        return _runs[packed]
+
+    def resolve_packed(sample) -> bool:
+        if config.packed_rows != "auto":
+            return bool(config.packed_rows)
+        from ..models.network import pick_packed_rows
+
+        H, W = sample["imgs"].shape[1:3]
+        return pick_packed_rows(
+            sample["proj_matrices"], sample["depth_values"], H, W,
+            config.depth_block,
+        )
     evidential_apply = None
     if need_volume:
         from ..models.evidential import make_evidential_apply
@@ -130,9 +156,10 @@ def run_inference(
     total = 0.0
     failures: list[str] = []
 
-    def flush(group: list) -> float:
+    def flush(group: list, packed: bool) -> float:
         """Run one (possibly padded) batch and save its outputs."""
         nonlocal count
+        run = get_run(packed)
         n_real = len(group)
         padded = group + [group[-1]] * (fanout - n_real)
         imgs = jnp.asarray(np.stack([s["imgs"] for s in padded]))
@@ -186,15 +213,16 @@ def run_inference(
             failures.append(str(sample))
             print(f"SKIP (load failure): {sample}", flush=True)
             continue
-        key = (sample["imgs"].shape, sample["depth_values"].shape)
+        key = (sample["imgs"].shape, sample["depth_values"].shape,
+               resolve_packed(sample))
         bucket = buckets.setdefault(key, [])
         bucket.append(sample)
         if len(bucket) == fanout:
-            total += flush(bucket)
+            total += flush(bucket, packed=key[2])
             buckets[key] = []
-    for bucket in buckets.values():  # ragged tails
+    for key, bucket in buckets.items():  # ragged tails
         if bucket:
-            total += flush(bucket)
+            total += flush(bucket, packed=key[2])
 
     if failures:
         print(f"run_inference: {len(failures)} sample(s) skipped due to load failures")

@@ -34,7 +34,11 @@ Flags via env:
   432x576/D128; pixel-major gather order loses more than folding gains).
   "hybrid" = depth-major gather + folded omega application only),
   BENCH_PALLAS (1|0, default 0: fused Pallas ConvLSTM gate kernel —
-  measured 2.4x slower end-to-end; it breaks XLA's gate fusion)
+  measured 2.4x slower end-to-end; it breaks XLA's gate fusion),
+  BENCH_PACKED (1|0, default 0: ONE 4x4-patch row per (view, pixel)
+  serves the whole depth block — cuts the binding gather-row count
+  ~block/1.6-fold; refused with an error if the synthetic scene's
+  per-step displacement fails the exactness gate)
 
 Besides the headline metric the JSON carries the roofline accounting:
 compiled FLOPs/bytes (XLA cost analysis), the implied ideal time on this
@@ -68,6 +72,7 @@ MEASURED_PEAK_BYTES = 115e9  # elementwise copy chain (read+write)
 # per (src-view, depth, pixel), which makes row issue rate the binding
 # ceiling of the whole sweep on this host.
 MEASURED_GATHER_ROWS_PER_S = 38.2e6
+MEASURED_GATHER_ROWS512_PER_S = 24.5e6  # 512-lane rows (packed 4x4 tables)
 
 
 def main():
@@ -107,6 +112,7 @@ def main():
     fo_env = os.environ.get("BENCH_FOLD_OMEGA", "0")
     fold_omega = "hybrid" if fo_env == "hybrid" else fo_env == "1"
     pallas_gates = os.environ.get("BENCH_PALLAS", "0") == "1"
+    packed_rows = os.environ.get("BENCH_PACKED", "0") == "1"
 
     ckpt = "/root/reference/checkpoints/model_dtu_v2.ckpt"
     if os.path.exists(ckpt):
@@ -127,10 +133,19 @@ def main():
     proj = np.stack(projs)[None]
     depths = np.linspace(425.0, 933.8, D, dtype=np.float32)[None]
 
+    if packed_rows:
+        from aa_rmvsnet_tpu.models.network import pick_packed_rows
+
+        if not pick_packed_rows(proj[0], depths[0], H, W, block):
+            raise SystemExit(
+                "BENCH_PACKED=1 but the scene's per-step warp displacement "
+                "fails the 2 px packed-row exactness gate at this block size"
+            )
+
     config = SweepConfig(
         depth_block=block, collect_volume=False, feature_dtype=dtype,
         table_dtype=table_dtype, fold_omega=fold_omega,
-        pallas_gates=pallas_gates,
+        pallas_gates=pallas_gates, packed_rows=packed_rows,
     )
 
     @jax.jit
@@ -178,13 +193,18 @@ def main():
             "dtype": "bf16" if dtype == jnp.bfloat16 else "fp32",
             "fp8_tables": table_dtype is not None,
             "fold_omega": fold_omega, "pallas_gates": pallas_gates,
-            "depth_block": block,
+            "packed_rows": packed_rows, "depth_block": block,
         },
     }
-    # One warp-gather row per (src-view, depth, pixel): the binding
-    # resource on this chip (see MEASURED_GATHER_ROWS_PER_S).
+    # One warp-gather row per (src-view, depth, pixel) — or per
+    # (src-view, depth-block, pixel) in packed mode: the binding resource
+    # on this chip (see MEASURED_GATHER_ROWS_PER_S).
     gather_rows = (V - 1) * D * H * W
-    t_gather = gather_rows / MEASURED_GATHER_ROWS_PER_S
+    row_rate = MEASURED_GATHER_ROWS_PER_S
+    if packed_rows:
+        gather_rows //= block
+        row_rate = MEASURED_GATHER_ROWS512_PER_S
+    t_gather = gather_rows / row_rate
     record.update(
         gather_mrows=round(gather_rows / 1e6, 3),
         gather_roofline_fraction=round(t_gather / dt, 3),

@@ -377,6 +377,42 @@ class TestSweepLevers:
             np.asarray(folded["depth"]), np.asarray(base["depth"]), atol=1e-3
         )
 
+    @pytest.mark.parametrize("table_dtype", [None, "fp8"])
+    def test_packed_rows_match_default(self, params, table_dtype):
+        """One 4x4 row per (view, pixel, depth-block) must reproduce the
+        per-depth gather exactly when the host gate passes."""
+        from aa_rmvsnet_tpu.models.network import pick_packed_rows
+
+        imgs, proj, depths = _random_scene(seed=7)
+        assert pick_packed_rows(proj[0], depths[0], imgs.shape[2],
+                                imgs.shape[3], depth_block=4)
+        cfg = dict(depth_block=4)
+        if table_dtype == "fp8":
+            cfg["table_dtype"] = jnp.float8_e4m3fn
+        base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                       jnp.asarray(depths), SweepConfig(**cfg))
+        packed = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                         jnp.asarray(depths),
+                         SweepConfig(**cfg, packed_rows=True))
+        np.testing.assert_allclose(
+            np.asarray(packed["cost_volume"]), np.asarray(base["cost_volume"]),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed["depth"]), np.asarray(base["depth"]), atol=1e-3
+        )
+
+    def test_pick_packed_rows_rejects_coarse_sweep(self):
+        """A sweep whose per-step displacement is large must be rejected."""
+        from aa_rmvsnet_tpu.models.network import pick_packed_rows
+
+        imgs, proj, depths = _random_scene(seed=8, D=4)  # 4 steps over 200mm
+        # widen the baseline so per-step displacement clearly exceeds 2 px
+        proj = proj.copy()
+        proj[:, 1:, 0, 3] += 1e5
+        assert not pick_packed_rows(proj[0], depths[0], imgs.shape[2],
+                                    imgs.shape[3], depth_block=4)
+
     def test_pallas_gates_match_default(self, params):
         imgs, proj, depths = _random_scene(seed=6)
         base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),

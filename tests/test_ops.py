@@ -246,6 +246,106 @@ class TestPatchSample:
         bound = (2.0 ** -4) * ch_max[:, None, :] + 1e-6
         assert np.all(np.abs(quant - exact) <= bound)
 
+    def test_packed_matches_bilinear_within_span(self):
+        """Packed 4x4 rows: exact vs the plain sampler whenever each
+        group's coordinate span is <= 2 px — including groups straddling
+        the border and fully out of bounds."""
+        from aa_rmvsnet_tpu.ops.patch_sample import (
+            build_patch_table4,
+            patch_bilinear_sample_packed,
+        )
+        from aa_rmvsnet_tpu.ops.grid_sample import bilinear_sample_xy
+
+        B, H, W, C, G, K = 2, 13, 17, 5, 200, 8
+        feat = rand(B, H, W, C, seed=30)
+        rng = np.random.RandomState(31)
+        # group base anywhere incl. outside; K samples within a 2 px span
+        bx = (rng.rand(B, G, 1) * (W + 8) - 4).astype(np.float32)
+        by = (rng.rand(B, G, 1) * (H + 8) - 4).astype(np.float32)
+        x = bx + (rng.rand(B, G, K) * 2.0).astype(np.float32)
+        y = by + (rng.rand(B, G, K) * 2.0).astype(np.float32)
+
+        table = build_patch_table4(jnp.asarray(feat))
+        ours = np.asarray(
+            patch_bilinear_sample_packed(
+                table, jnp.asarray(x), jnp.asarray(y), H, W
+            )
+        )
+        ref = np.asarray(
+            bilinear_sample_xy(
+                jnp.asarray(feat),
+                jnp.asarray(x.reshape(B, -1)),
+                jnp.asarray(y.reshape(B, -1)),
+            )
+        ).reshape(B, G, K, C)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_packed_quant_matches_unpacked_quant(self):
+        """fp8 packed rows must dequantize to the same samples as the fp8
+        2x2 path (same per-channel scales, same table values)."""
+        from aa_rmvsnet_tpu.ops.patch_sample import (
+            build_patch_table4_quant,
+            build_patch_table_quant,
+            patch_bilinear_sample,
+            patch_bilinear_sample_packed,
+        )
+
+        B, H, W, C, G, K = 1, 13, 17, 5, 150, 4
+        feat = rand(B, H, W, C, seed=32)
+        rng = np.random.RandomState(33)
+        bx = (rng.rand(B, G, 1) * (W + 4) - 2).astype(np.float32)
+        by = (rng.rand(B, G, 1) * (H + 4) - 2).astype(np.float32)
+        x = bx + (rng.rand(B, G, K) * 2.0).astype(np.float32)
+        y = by + (rng.rand(B, G, K) * 2.0).astype(np.float32)
+
+        t4, s4 = build_patch_table4_quant(jnp.asarray(feat))
+        packed = np.asarray(
+            patch_bilinear_sample_packed(
+                t4, jnp.asarray(x), jnp.asarray(y), H, W,
+                scale=s4, compute_dtype=jnp.float32,
+            )
+        )
+        t2, s2 = build_patch_table_quant(jnp.asarray(feat))
+        flat = np.asarray(
+            patch_bilinear_sample(
+                t2, jnp.asarray(x.reshape(B, -1)), jnp.asarray(y.reshape(B, -1)),
+                H, W, scale=s2, compute_dtype=jnp.float32,
+            )
+        ).reshape(B, G, K, C)
+        np.testing.assert_allclose(packed, flat, atol=1e-5)
+
+    def test_max_depth_step_displacement_bound(self):
+        """The host bound must dominate the actual per-step displacement at
+        every pixel/depth of a randomized plane sweep."""
+        from aa_rmvsnet_tpu.ops.homography import (
+            homography_terms, max_depth_step_displacement, plane_sweep_xy,
+        )
+
+        rng = np.random.RandomState(40)
+        H, W, D = 12, 16, 16
+        K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+        ref = np.eye(4)
+        ref[:3, :4] = K @ np.eye(4)[:3, :4]
+        srcs = []
+        for _ in range(3):
+            E = np.eye(4)
+            E[:3, 3] = rng.randn(3) * 2.0
+            P = np.eye(4)
+            P[:3, :4] = K @ E[:3, :4]
+            srcs.append(P)
+        depths = np.linspace(40.0, 90.0, D)
+
+        bound = max_depth_step_displacement(np.stack(srcs), ref, depths, H, W)
+        rg, tr = homography_terms(
+            jnp.asarray(np.stack(srcs), jnp.float32)[:, None].reshape(3, 4, 4)[None].squeeze(0),
+            jnp.asarray(np.tile(ref[None], (3, 1, 1)), jnp.float32),
+            H, W,
+        )
+        x, y = plane_sweep_xy(rg, tr, jnp.asarray(np.tile(depths[None], (3, 1)), jnp.float32))
+        dx = np.abs(np.diff(np.asarray(x), axis=1)).max()
+        dy = np.abs(np.diff(np.asarray(y), axis=1)).max()
+        assert max(dx, dy) <= bound * (1 + 1e-5), (dx, dy, bound)
+
     def test_integer_coords_identity(self):
         from aa_rmvsnet_tpu.ops.patch_sample import build_patch_table, patch_bilinear_sample
 

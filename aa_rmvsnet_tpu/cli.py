@@ -18,6 +18,26 @@ import os
 import sys
 
 
+def _fold_omega_arg(s: str):
+    """Strict parser for --fold_omega: {0, 1, hybrid} only — a typo like
+    'hybird' must fail loudly, not silently select the slowest path."""
+    table = {"0": False, "1": True, "hybrid": "hybrid"}
+    if s not in table:
+        raise argparse.ArgumentTypeError(
+            f"--fold_omega must be 0, 1 or 'hybrid' (got {s!r})"
+        )
+    return table[s]
+
+
+def _packed_rows_arg(s: str):
+    table = {"0": False, "1": True, "auto": "auto"}
+    if s not in table:
+        raise argparse.ArgumentTypeError(
+            f"--packed_rows must be 0, 1 or 'auto' (got {s!r})"
+        )
+    return table[s]
+
+
 def _add_eval(sub):
     p = sub.add_parser("eval", help="generate depth maps")
     p.add_argument("--testpath", required=True)
@@ -41,7 +61,7 @@ def _add_eval(sub):
                         "--evidential_ckpt is given, else the core WTA depth")
     p.add_argument("--save_png", action="store_true", help="PNG previews")
     p.add_argument("--fold_omega", nargs="?", const=True, default=False,
-                   type=lambda s: {"0": False, "1": True}.get(s, s),
+                   type=_fold_omega_arg,
                    help="cost-block lane-padding lever: bare flag / '1' = "
                         "fully depth-folded layout, 'hybrid' = depth-major "
                         "gather + folded omega only (numerically identical; "
@@ -49,7 +69,7 @@ def _add_eval(sub):
     p.add_argument("--pallas_gates", action="store_true",
                    help="fused Pallas ConvLSTM gate kernel")
     p.add_argument("--packed_rows", default="auto",
-                   type=lambda s: {"0": False, "1": True}.get(s, "auto"),
+                   type=_packed_rows_arg,
                    help="one 4x4 warp row per (view, pixel) serving the "
                         "whole depth block (gather-row-count lever); "
                         "'auto' (default) enables it per sample when the "

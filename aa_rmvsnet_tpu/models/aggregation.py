@@ -35,16 +35,29 @@ class InterViewAA(nn.Module):
 
 def _group_norm_folded(x, scale, bias, groups: int, channels: int, eps=1e-5):
     """GroupNorm(num_groups=1 per volume) on a G-folded channel axis: stats
-    are per (image, folded-volume) over (H, W, channels)."""
-    N, H, W, _ = x.shape
-    g = x.reshape(N, H, W, groups, channels)
-    x32 = g.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 4), keepdims=True)
-    norm = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
-    scale = scale.astype(x.dtype).reshape(groups, channels)
-    bias = bias.astype(x.dtype).reshape(groups, channels)
-    return (norm * scale + bias).reshape(N, H, W, groups * channels)
+    are per (image, folded-volume) over (H, W, channels).
+
+    Every H x W-sized tensor stays in the folded ``(N, H, W, G*C)`` layout:
+    reshaping to ``(N, H, W, G, C)`` for the stats materializes a minor-C=4
+    tensor that TPU tiling pads 32x (observed: 7.6 GB HLO temps at the
+    north-star config).  Only the (N, G*C)-shaped moment vectors are ever
+    reshaped to split groups.
+    """
+    N, H, W, GC = x.shape
+    x32 = x.astype(jnp.float32)
+    # Two-pass moments: per-channel means over (H, W), then the per-group
+    # mean of those (equal counts -> exact group mean).
+    mu_c = jnp.mean(x32, axis=(1, 2))  # (N, GC)
+    mu_g = jnp.mean(mu_c.reshape(N, groups, channels), axis=2)  # (N, G)
+    mean = jnp.repeat(mu_g, channels, axis=1)[:, None, None, :]  # (N,1,1,GC)
+    d = x32 - mean
+    var_c = jnp.mean(jnp.square(d), axis=(1, 2))  # (N, GC)
+    var_g = jnp.mean(var_c.reshape(N, groups, channels), axis=2)  # (N, G)
+    inv = jnp.repeat(jax.lax.rsqrt(var_g + eps), channels, axis=1)
+    norm = (d * inv[:, None, None, :]).astype(x.dtype)
+    scale = scale.astype(x.dtype)[None, None, None, :]
+    bias = bias.astype(x.dtype)[None, None, None, :]
+    return norm * scale + bias
 
 
 def omega_folded(params, x: jnp.ndarray, groups: int) -> jnp.ndarray:

@@ -333,8 +333,9 @@ def _build_cost_block_packed(
         xg = x.transpose(0, 2, 1)  # (B, H*W, Db): groups = pixels
         yg = y.transpose(0, 2, 1)
         out = patch_bilinear_sample_packed(
-            table, xg, yg, H, W, scale=scale, compute_dtype=ref_feat.dtype
-        )  # (B, H*W, Db, C)
+            table, xg, yg, H, W, scale=scale, compute_dtype=ref_feat.dtype,
+            folded_out=True,
+        )  # (B, H*W, Db*C) — folded layout straight out of the tile blend
         return out.reshape(B, H, W, Db * C)
 
     if table_scales is None:

@@ -110,6 +110,16 @@ def max_depth_step_displacement(
     evaluating the first and last depth pairs over the full pixel grid
     bounds every step.
 
+    The endpoint argument REQUIRES (a) the warp denominator z > 0 at every
+    probed depth for every view — if any pixel projects behind a source
+    camera (near-epipole pixels, forward-motion scenes) the Moebius pole
+    lies inside the sweep and interior steps can exceed both endpoint
+    probes — and (b) monotone depth spacing (linspace in d or in 1/d both
+    qualify; the step sequence must be sorted).  When either precondition
+    fails this returns ``inf`` so gates like ``pick_packed_rows``
+    fail-closed to the exact per-depth path instead of silently dropping
+    bilinear taps.
+
     Args:
       src_projs: ``(S, 4, 4)`` source projection matrices (numpy).
       ref_proj: ``(4, 4)``.
@@ -127,6 +137,17 @@ def max_depth_step_displacement(
     d = np.asarray(depth_values, np.float64)
     if d.size < 2:
         return 0.0
+    steps = np.diff(d)
+    if not (np.all(steps > 0) or np.all(steps < 0)):
+        return float("inf")  # non-monotone sweep: endpoint bound invalid
+    # Spacing must be monotone too (linspace in d: constant; linspace in
+    # 1/d: monotone).  A non-monotone |step| sequence can hide its largest
+    # step in the interior.  Tolerance is relative to the step magnitude:
+    # float32 linspace steps jitter by ~2^-23 * range.
+    mag = np.abs(steps)
+    tol = 1e-3 * float(mag.max())
+    if not (np.all(np.diff(mag) >= -tol) or np.all(np.diff(mag) <= tol)):
+        return float("inf")
     probe = np.array([d[0], d[1], d[-2], d[-1]])
 
     y, x = np.mgrid[0:height, 0:width].astype(np.float64)
@@ -139,6 +160,11 @@ def max_depth_step_displacement(
         trans = proj[:3, 3:4]
         xyz = rot_grid[None] * probe[:, None, None] + trans[None]  # (4, 3, N)
         z = xyz[:, 2]
+        if np.min(z) <= 0.0:
+            # A probed point is on/behind a source camera: the Moebius pole
+            # sits inside (or at the edge of) the sweep, the interior is
+            # unbounded by the endpoints — report "unbounded".
+            return float("inf")
         z = np.where(z == 0.0, z + 1e-4, z)
         px = xyz[:, 0] / z
         py = xyz[:, 1] / z

@@ -145,6 +145,13 @@ def build_patch_table4(feat: jnp.ndarray) -> jnp.ndarray:
     On gather-row-rate-limited backends (BENCHMARKS.md round-2: ~38 Mrows/s
     at 128 lanes vs ~25 Mrows/s at 512 on the tunnel chip) serving K depths
     per row cuts warp-gather time ~K/1.6-fold.
+
+    HBM COST: the 16-tap table materializes a 16x copy of each source
+    feature map (vs 4x for the 2x2 table) — at the north-star config
+    (1152x864, C=32, 4 src views) that is ~2 GB bf16 / ~500 MB fp8 of
+    tables vs ~500 MB / ~127 MB for the 2x2 variant.  Budget for it before
+    enabling packed mode on memory-tight configs (e.g. large spatial tiles
+    with collect_volume=True).
     """
     B, H, W, C = feat.shape
     padded = jnp.pad(feat, ((0, 0), (0, 3), (0, 3), (0, 0)))
@@ -169,6 +176,21 @@ def build_patch_table4_quant(feat: jnp.ndarray, dtype=jnp.float8_e4m3fn):
     return table, jnp.tile(scale.reshape(B, 1, C), (1, 1, 16))
 
 
+def _packed_tile_pixels(G: int, K: int, out_itemsize: int,
+                        target_bytes: int = 128 * 2**20) -> int:
+    """Largest divisor of G whose per-tile blend intermediates stay under
+    ``target_bytes`` (estimated at the TPU-padded size: the (B, Gt, K, 4, C)
+    einsum temp carries a 128-lane-padded minor axis)."""
+    per_px = K * 4 * 128 * out_itemsize
+    max_gt = max(1, target_bytes // per_px)
+    if G <= max_gt:
+        return G
+    for d in range(int(max_gt), 0, -1):
+        if G % d == 0:
+            return d
+    return 1
+
+
 def patch_bilinear_sample_packed(
     table: jnp.ndarray,
     x: jnp.ndarray,
@@ -177,6 +199,8 @@ def patch_bilinear_sample_packed(
     width: int,
     scale: jnp.ndarray | None = None,
     compute_dtype=None,
+    folded_out: bool = False,
+    tile_target_bytes: int = 128 * 2**20,
 ) -> jnp.ndarray:
     """Bilinear-sample K grouped coordinates per ONE 4x4-patch gather row.
 
@@ -186,9 +210,18 @@ def patch_bilinear_sample_packed(
         group share one gather (in the sweep: one pixel, K consecutive
         depth hypotheses).
       scale: optional ``(B, 1, 16C)`` dequantization factors.
+      folded_out: return ``(B, G, K*C)`` (the depth-folded layout the cost
+        build consumes, minor axis ``K*C`` lanes — no padding for K*C a
+        multiple of 128/dtype-tile) instead of ``(B, G, K, C)``.
 
     Returns:
-      ``(B, G, K, C)`` samples.
+      ``(B, G, K, C)`` samples (``(B, G, K*C)`` when ``folded_out``).
+
+    MEMORY: the blend runs over PIXEL TILES (``lax.map``) sized so the
+    per-tile einsum temporaries stay ~128 MB at their TPU-padded size —
+    a full-frame blend at the north-star config would materialize
+    (S, 1M, K, 4, 32) temps whose 32-lane minor axis pads 4-16x (observed
+    15 GB + 7.6 GB HLO temps -> OOM).  Tiling is invisible numerically.
 
     EXACTNESS CONTRACT: results equal per-sample bilinear (torch
     grid_sample zeros / align_corners=True semantics) iff every group's
@@ -202,6 +235,8 @@ def patch_bilinear_sample_packed(
     Groups violating the bound silently lose taps; do not use without the
     check.
     """
+    import jax
+
     B, G, K = x.shape
     _, HW, C16 = table.shape
     C = C16 // 16
@@ -209,25 +244,47 @@ def patch_bilinear_sample_packed(
 
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
-    # Group anchor: min floor, clipped into the image like the 2x2 path —
-    # every clamping case again falls out of zero-padding + tent weights.
-    ax = jnp.clip(jnp.floor(jnp.min(x, axis=2)), 0, width - 1)  # (B, G)
-    ay = jnp.clip(jnp.floor(jnp.min(y, axis=2)), 0, height - 1)
-    idx = (ay * width + ax).astype(jnp.int32)
 
-    rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, G, 16C)
-    rows = rows.astype(out_dtype)
-    if scale is not None:
-        rows = rows * scale.astype(out_dtype)
-    patches = rows.reshape(B, G, 4, 4, C)  # (B, G, ty, tx, C)
-
-    # Per-sample tent weights over the 4 patch rows / cols; separable
-    # contraction keeps it at 20C (not 32C) MACs per sample on the VPU.
+    gt = _packed_tile_pixels(G, K, jnp.dtype(out_dtype).itemsize,
+                             tile_target_bytes)
+    num_tiles = G // gt
     taps = jnp.arange(4.0)
     tent = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
-    wx = tent(x[..., None] - (ax[:, :, None, None] + taps))  # (B, G, K, 4)
-    wy = tent(y[..., None] - (ay[:, :, None, None] + taps))
-    tmp = jnp.einsum(
-        "bgrtc,bgkt->bgkrc", patches, wx.astype(out_dtype)
-    )  # contract cols
-    return jnp.einsum("bgkrc,bgkr->bgkc", tmp, wy.astype(out_dtype))
+
+    def blend_tile(args):
+        xt, yt = args  # (B, gt, K)
+        # Group anchor: min floor, clipped into the image like the 2x2
+        # path — every clamping case again falls out of zero-padding +
+        # tent weights.
+        ax = jnp.clip(jnp.floor(jnp.min(xt, axis=2)), 0, width - 1)  # (B, gt)
+        ay = jnp.clip(jnp.floor(jnp.min(yt, axis=2)), 0, height - 1)
+        idx = (ay * width + ax).astype(jnp.int32)
+
+        rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, gt, 16C)
+        rows = rows.astype(out_dtype)
+        if scale is not None:
+            rows = rows * scale.astype(out_dtype)
+        patches = rows.reshape(B, gt, 4, 4, C)  # (B, gt, ty, tx, C)
+
+        # Per-sample tent weights over the 4 patch rows / cols; separable
+        # contraction keeps it at 20C (not 32C) MACs per sample on the VPU.
+        wx = tent(xt[..., None] - (ax[:, :, None, None] + taps))  # (B, gt, K, 4)
+        wy = tent(yt[..., None] - (ay[:, :, None, None] + taps))
+        tmp = jnp.einsum(
+            "bgrtc,bgkt->bgkrc", patches, wx.astype(out_dtype)
+        )  # contract cols
+        out = jnp.einsum("bgkrc,bgkr->bgkc", tmp, wy.astype(out_dtype))
+        # Fold (K, C) -> K*C inside the tile: the stacked full-frame result
+        # then never exists in a 32-lane-minor layout.
+        return out.reshape(B, gt, K * C)
+
+    if num_tiles == 1:
+        out = blend_tile((x, y))
+    else:
+        xs = (
+            x.reshape(B, num_tiles, gt, K).transpose(1, 0, 2, 3),
+            y.reshape(B, num_tiles, gt, K).transpose(1, 0, 2, 3),
+        )
+        out = jax.lax.map(blend_tile, xs)  # (T, B, gt, K*C)
+        out = out.transpose(1, 0, 2, 3).reshape(B, G, K * C)
+    return out if folded_out else out.reshape(B, G, K, C)

@@ -170,12 +170,14 @@ def run_inference(
                 jax.device_put(x, batch_sharding) for x in (imgs, proj, depths)
             )
 
+        # The axon TPU tunnel's block_until_ready returns WITHOUT waiting
+        # (CLAUDE.md); the timing point must force a device-to-host fetch.
+        # np.asarray pulls the whole depth batch — the fetch itself is part
+        # of the map's delivery cost, so including it is the honest number.
         t0 = time.perf_counter()
         out = run(params, imgs, proj, depths)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-
         depth_b = np.asarray(out["depth"])
+        dt = time.perf_counter() - t0
         conf_b = np.asarray(out["photometric_confidence"])
         ev = None
         if need_volume:

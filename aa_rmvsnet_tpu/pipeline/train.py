@@ -87,7 +87,24 @@ def loss_fn(params, batch, sweep_config: SweepConfig):
     return loss, wta_depth
 
 
+def _check_train_mesh(mesh) -> None:
+    """Refuse silently-wrong-gradient meshes for TRAINING steps.
+
+    view > 1 combined with spatial > 1 double-counts regularizer gradients
+    by the view-axis size (upstream XLA SPMD partitioner bug; minimal repro
+    in tests/test_train.py:TestViewAxisSharding).  Inference under the same
+    mesh is fine — the check lives here, not in make_mesh.
+    """
+    if mesh is not None and mesh.shape.get("view", 1) > 1 and mesh.shape.get("spatial", 1) > 1:
+        raise ValueError(
+            "training with view > 1 AND spatial > 1 produces wrong gradients "
+            "(XLA SPMD double-counts the view psum across the spatial axis); "
+            "use (data, view) or (data, spatial) for training"
+        )
+
+
 def make_train_step(config: TrainConfig, tx: optax.GradientTransformation):
+    _check_train_mesh(config.mesh)
     sweep_config = config.sweep()
 
     @jax.jit
@@ -194,6 +211,7 @@ def _evidential_summaries(ev, batch):
 
 
 def make_evidential_train_step(config: TrainConfig, tx: optax.GradientTransformation):
+    _check_train_mesh(config.mesh)
     sweep_config = config.sweep()
 
     @jax.jit

@@ -280,6 +280,40 @@ class TestPatchSample:
         ).reshape(B, G, K, C)
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
+    def test_packed_tiled_matches_single_tile(self):
+        """The lax.map pixel tiling (memory lever, round-3) must be
+        numerically invisible, including the folded output layout."""
+        from aa_rmvsnet_tpu.ops.patch_sample import (
+            build_patch_table4,
+            patch_bilinear_sample_packed,
+        )
+
+        B, H, W, C, G, K = 1, 13, 17, 5, 192, 4
+        feat = rand(B, H, W, C, seed=34)
+        rng = np.random.RandomState(35)
+        bx = (rng.rand(B, G, 1) * (W + 4) - 2).astype(np.float32)
+        by = (rng.rand(B, G, 1) * (H + 4) - 2).astype(np.float32)
+        x = jnp.asarray(bx + (rng.rand(B, G, K) * 2.0).astype(np.float32))
+        y = jnp.asarray(by + (rng.rand(B, G, K) * 2.0).astype(np.float32))
+
+        table = build_patch_table4(jnp.asarray(feat))
+        one = np.asarray(patch_bilinear_sample_packed(table, x, y, H, W))
+        # Tiny target -> 64-px tiles -> 3 tiles of 64 groups each
+        per_px = K * 4 * 128 * 4
+        tiled = np.asarray(
+            patch_bilinear_sample_packed(
+                table, x, y, H, W, tile_target_bytes=64 * per_px,
+            )
+        )
+        np.testing.assert_allclose(tiled, one, atol=1e-6)
+        folded = np.asarray(
+            patch_bilinear_sample_packed(
+                table, x, y, H, W, folded_out=True,
+                tile_target_bytes=64 * per_px,
+            )
+        )
+        np.testing.assert_allclose(folded.reshape(B, G, K, C), one, atol=1e-6)
+
     def test_packed_quant_matches_unpacked_quant(self):
         """fp8 packed rows must dequantize to the same samples as the fp8
         2x2 path (same per-channel scales, same table values)."""

@@ -201,6 +201,24 @@ class TestInferenceDriver:
             assert (c >= 0).all() and (c <= 1.0001).all()
 
 
+class TestInferenceTiming:
+    def test_timing_path_forces_host_fetch(self):
+        """The axon tunnel's block_until_ready returns without waiting
+        (CLAUDE.md), so run_inference's per-batch timing MUST force a
+        device-to-host fetch inside the timed region — the timed section
+        must contain the np.asarray pull and no block_until_ready."""
+        import inspect
+
+        from aa_rmvsnet_tpu.pipeline import infer
+
+        src = inspect.getsource(infer.run_inference)
+        assert "jax.block_until_ready(" not in src  # comments may mention it
+        timed = src.split("t0 = time.perf_counter()")[1].split(
+            "dt = time.perf_counter() - t0"
+        )[0]
+        assert "np.asarray" in timed  # the fetch is inside the timed region
+
+
 class TestInferenceFanout:
     def test_fanout_matches_serial(self, tmp_path):
         """Multi-device eval fleet: batches of same-shape samples sharded

@@ -344,6 +344,21 @@ class TestViewAxisSharding:
                 b, a, atol=max(5e-3 * np.abs(a).max(), 1e-6)
             )
 
+    def test_train_step_refuses_view_and_spatial_mesh(self):
+        """Training on view>1 AND spatial>1 silently double-counts
+        gradients (the upstream bug above) — the train-step factories must
+        hard-error, not warn (round-3; inference stays allowed)."""
+        from aa_rmvsnet_tpu.pipeline.train import make_evidential_train_step
+
+        with pytest.warns(UserWarning, match="view.*spatial"):
+            mesh = make_mesh(data=2, view=2, spatial=2)
+        config = TrainConfig(depth_block=2, total_steps=10, mesh=mesh)
+        tx = make_optimizer(config)
+        with pytest.raises(ValueError, match="view > 1 AND spatial > 1"):
+            make_train_step(config, tx)
+        with pytest.raises(ValueError, match="view > 1 AND spatial > 1"):
+            make_evidential_train_step(config, tx)
+
     def test_view_axis_skipped_when_indivisible(self):
         """V-1 not divisible by the view axis -> constraint quietly skipped,
         result still correct."""

@@ -151,6 +151,7 @@ def sweep_depth_pipelined(
 
     T = M + num_stages - 1
     fwd_perm = [(i, i + 1) for i in range(num_stages - 1)]
+    has_scales = scales is not None
 
     def stage_fn(params, ref_feats, tables, rot_grids, transes, depth_stack,
                  scales):
@@ -180,7 +181,7 @@ def sweep_depth_pipelined(
             )
             ref_feat = take(ref_feats)
             tbl, rg, tr = take(tables), take(rot_grids), take(transes)
-            sc = take(scales) if scales is not None else None
+            sc = take(scales) if has_scales else None
 
             def block_step(bcarry, dblock):
                 states, depth_img, max_cost, lse = bcarry
@@ -201,11 +202,12 @@ def sweep_depth_pipelined(
                 lse = jnp.logaddexp(lse, jax.nn.logsumexp(costs, axis=0))
                 return (states, depth_img, max_cost, lse), None
 
+            vary = lambda a: jax.lax.pcast(a, ("depth",), to="varying")
             chunk_init = (
                 states,
-                jnp.zeros((B, H, W), jnp.float32),
-                jnp.full((B, H, W), -jnp.inf, jnp.float32),
-                jnp.full((B, H, W), -jnp.inf, jnp.float32),
+                vary(jnp.zeros((B, H, W), jnp.float32)),
+                vary(jnp.full((B, H, W), -jnp.inf, jnp.float32)),
+                vary(jnp.full((B, H, W), -jnp.inf, jnp.float32)),
             )
             (states_out, d_img, m_cost, lse), _ = jax.lax.scan(
                 block_step, chunk_init, depth_blocks
@@ -230,10 +232,16 @@ def sweep_depth_pipelined(
             return (states_next, depth_buf, max_buf, lse_buf), None
 
         bufs = (
-            jax.tree.map(lambda i: i, init),
+            init,
             jnp.zeros((M, B, H, W), jnp.float32),
             jnp.full((M, B, H, W), -jnp.inf, jnp.float32),
             jnp.full((M, B, H, W), -jnp.inf, jnp.float32),
+        )
+        # The tick body's outputs are device-varying (they depend on
+        # axis_index / ppermute); the replicated init carry must be cast to
+        # the same varying type or shard_map's scan typechecking rejects it.
+        bufs = jax.tree.map(
+            lambda a: jax.lax.pcast(a, ("depth",), to="varying"), bufs
         )
         (_, depth_buf, max_buf, lse_buf), _ = jax.lax.scan(
             tick, bufs, jnp.arange(T)

@@ -47,13 +47,18 @@ def make_mesh(
     data: int | None = None,
     spatial: int = 1,
     view: int = 1,
+    depth: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ``(data, view, spatial)`` mesh over the available devices.
+    """Build a ``(data, view, spatial, depth)`` mesh over the available
+    devices.
 
-    ``data`` defaults to ``num_devices // (view * spatial)``.  The data axis
-    varies slowest so it maps across hosts (DCN) while view/spatial stay
-    within a host (ICI) under the default device enumeration.
+    ``data`` defaults to ``num_devices // (view * spatial * depth)``.  The
+    data axis varies slowest so it maps across hosts (DCN) while
+    view/spatial/depth stay within a host (ICI) under the default device
+    enumeration; ``depth`` varies fastest so the pipeline's per-tick
+    ppermute carry handoff (``parallel.depth_pipeline``) rides neighboring
+    ICI links.
     """
     if view > 1 and spatial > 1:
         import warnings
@@ -69,15 +74,18 @@ def make_mesh(
         )
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
-    inner = view * spatial
+    inner = view * spatial * depth
     if data is None:
         if n % inner:
-            raise ValueError(f"{n} devices not divisible by view*spatial={inner}")
+            raise ValueError(
+                f"{n} devices not divisible by view*spatial*depth={inner}"
+            )
         data = n // inner
     if data * inner != n:
-        raise ValueError(f"mesh {data}x{view}x{spatial} != {n} devices")
+        raise ValueError(f"mesh {data}x{view}x{spatial}x{depth} != {n} devices")
     return Mesh(
-        devices.reshape(data, view, spatial), axis_names=("data", "view", "spatial")
+        devices.reshape(data, view, spatial, depth),
+        axis_names=("data", "view", "spatial", "depth"),
     )
 
 

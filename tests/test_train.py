@@ -210,7 +210,7 @@ class TestMultiChip:
     def test_mesh_construction(self):
         assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
         mesh = make_mesh(data=4, spatial=2)
-        assert dict(mesh.shape) == {"data": 4, "view": 1, "spatial": 2}
+        assert dict(mesh.shape) == {"data": 4, "view": 1, "spatial": 2, "depth": 1}
 
     def test_sharded_train_step_runs_and_matches_single(self):
         from aa_rmvsnet_tpu.pipeline.train import loss_fn

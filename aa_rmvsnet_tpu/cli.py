@@ -92,6 +92,18 @@ def _add_fuse(sub):
     p.add_argument("--photo_threshold", type=float)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--host_id", type=int, default=0, help="scan-shard index")
+    p.add_argument("--view_block", type=int, default=None,
+                   help="fuse only this contiguous ref-view block of each "
+                        "scan (0-based; distributes ONE large scan — e.g. "
+                        "a 300+-view TnT-advanced scene — across hosts). "
+                        "Writes <ply>.block<I>of<N>; run 'fuse' once more "
+                        "with --merge_blocks after all blocks finish")
+    p.add_argument("--num_view_blocks", type=int, default=1,
+                   help="total ref-view blocks per scan")
+    p.add_argument("--merge_blocks", action="store_true",
+                   help="merge previously written per-view-block PLYs into "
+                        "the final per-scan cloud (vertex order identical "
+                        "to a single-host fuse)")
     p.add_argument("--num_hosts", type=int, default=1)
     return p
 
@@ -254,7 +266,14 @@ def cmd_eval(args):
 
 
 def cmd_fuse(args):
-    from .pipeline.fuse import FuseConfig, fuse_scan, fuse_scan_padded
+    from .pipeline.fuse import (
+        FuseConfig, fuse_scan, fuse_scan_padded, merge_ply_blocks,
+    )
+
+    block = None
+    if args.view_block is not None:
+        block = (args.view_block, args.num_view_blocks)
+    block_path = lambda ply, i: f"{ply}.block{i}of{args.num_view_blocks}"
 
     with open(args.testlist) as f:
         scans = [line.strip() for line in f if line.strip()]
@@ -266,18 +285,31 @@ def cmd_fuse(args):
             thr = args.photo_threshold if args.photo_threshold is not None else 0.35
             scan_id = int("".join(c for c in scan if c.isdigit()) or 0)
             ply = os.path.join(args.outdir, f"mvsnet_{scan_id:03d}_l3.ply")
-            n = fuse_scan(scan_folder, depth_folder, ply,
-                          FuseConfig(photo_threshold=thr, num_workers=args.num_workers))
-        elif args.test_dataset == "tnt":
-            thr = args.photo_threshold if args.photo_threshold is not None else 0.2
-            ply = os.path.join(args.outdir, scan + ".ply")
-            n = fuse_scan(scan_folder, depth_folder, ply,
-                          FuseConfig(photo_threshold=thr, num_workers=args.num_workers))
         else:
             ply = os.path.join(args.outdir, scan + ".ply")
-            n = fuse_scan_padded(scan_folder, depth_folder, ply,
-                                 num_workers=args.num_workers)
-        print(f"{scan}: {n} points -> {ply}")
+
+        if args.merge_blocks:
+            n = merge_ply_blocks(
+                [block_path(ply, i) for i in range(args.num_view_blocks)], ply
+            )
+            print(f"{scan}: merged {args.num_view_blocks} blocks, "
+                  f"{n} points -> {ply}")
+            continue
+
+        out = ply if block is None else block_path(ply, args.view_block)
+        if args.test_dataset == "dtu":
+            n = fuse_scan(scan_folder, depth_folder, out,
+                          FuseConfig(photo_threshold=thr, num_workers=args.num_workers),
+                          view_block=block)
+        elif args.test_dataset == "tnt":
+            thr = args.photo_threshold if args.photo_threshold is not None else 0.2
+            n = fuse_scan(scan_folder, depth_folder, out,
+                          FuseConfig(photo_threshold=thr, num_workers=args.num_workers),
+                          view_block=block)
+        else:
+            n = fuse_scan_padded(scan_folder, depth_folder, out,
+                                 num_workers=args.num_workers, view_block=block)
+        print(f"{scan}: {n} points -> {out}")
 
 
 def cmd_train(args):

@@ -58,6 +58,36 @@ class FuseConfig:
     use_native: bool = True  # OpenMP fused core when built (pipeline/native.py)
 
 
+def _pair_block(pairs, block: int, num_blocks: int):
+    """CONTIGUOUS slice of the (ref, srcs) pair list for worker ``block`` of
+    ``num_blocks``.  Contiguous (not strided) so concatenating the per-block
+    PLYs in block order reproduces the single-host vertex order exactly
+    (reference anchor: the per-ref-view loop at fusion.py:144 is the natural
+    distribution unit for 300+-view TnT-advanced scans; SURVEY §7.1.6)."""
+    if not 0 <= block < num_blocks:
+        raise ValueError(f"view block {block} outside [0, {num_blocks})")
+    n = len(pairs)
+    return pairs[block * n // num_blocks : (block + 1) * n // num_blocks]
+
+
+def merge_ply_blocks(block_paths, out_path: str) -> int:
+    """Concatenate per-view-block PLYs (pose-consistent: every block's
+    vertices are already in world space) into one cloud.  Returns the
+    vertex count."""
+    from ..core.ply import read_ply
+
+    xyz, rgb = [], []
+    for path in block_paths:
+        x, c = read_ply(path)
+        xyz.append(x)
+        rgb.append(c)
+    xyz = np.concatenate(xyz) if xyz else np.zeros((0, 3), np.float32)
+    rgb = np.concatenate(rgb) if rgb else np.zeros((0, 3), np.uint8)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    write_ply(out_path, xyz, rgb)
+    return len(xyz)
+
+
 def reproject_with_depth(depth_ref, K_ref, E_ref, depth_src, K_src, E_src):
     """Ref->src->ref round trip (reference fusion.py:71-108).
 
@@ -151,6 +181,7 @@ def fuse_scan_padded(
     ply_path: str,
     config: FuseConfig | None = None,
     num_workers: int = 8,
+    view_block: tuple[int, int] | None = None,
 ) -> int:
     """TnT padded-pipeline fusion variant (reference fusion_padding.py:29-266).
 
@@ -159,10 +190,14 @@ def fuse_scan_padded(
     the variant crops 2 rows top/bottom of every prediction, halves the
     intrinsics, pyrDowns the reference image, uses photo threshold 0.3, and
     adds a fixed ``loose-mask sum >= 10`` term to the graduated OR.
+    ``view_block=(block, num_blocks)`` fuses one contiguous ref-view block
+    (see :func:`fuse_scan`).
     """
     if config is None:
         config = FuseConfig(photo_threshold=0.3, num_workers=num_workers)
     pairs = read_pair_file(os.path.join(scan_folder, "pair.txt"))
+    if view_block is not None:
+        pairs = _pair_block(pairs, *view_block)
 
     def load_depth(vid):
         path = os.path.join(depth_folder, f"depth_est_0/{vid:08d}.pfm")
@@ -227,10 +262,12 @@ def fuse_scan_padded(
         futures = [pool.submit(process_ref, rv, sv) for rv, sv in pairs]
         results = [r for r in (f.result() for f in futures) if r is not None]
 
-    if not results:
+    if not results and view_block is None:
         raise RuntimeError(f"no fused points for {scan_folder} (missing depth maps?)")
-    xyz = np.concatenate([r[0] for r in results])
-    rgb = np.concatenate([r[1] for r in results])
+    xyz = (np.concatenate([r[0] for r in results])
+           if results else np.zeros((0, 3), np.float32))
+    rgb = (np.concatenate([r[1] for r in results])
+           if results else np.zeros((0, 3), np.uint8))
     os.makedirs(os.path.dirname(ply_path) or ".", exist_ok=True)
     write_ply(ply_path, xyz, rgb)
     return len(xyz)
@@ -242,13 +279,19 @@ def fuse_scan(
     ply_path: str,
     config: FuseConfig = FuseConfig(),
     save_masks: bool = False,
+    view_block: tuple[int, int] | None = None,
 ) -> int:
     """Filter + fuse one scan into a PLY file.  Returns the vertex count.
 
     ``scan_folder``: the scene dir (images/, cams/, pair.txt).
     ``depth_folder``: the inference output dir (depth_est_0/, confidence_0/).
+    ``view_block``: optional ``(block, num_blocks)`` — process only that
+    contiguous ref-view block (distributing ONE large scan across hosts);
+    merge the per-block PLYs afterwards with :func:`merge_ply_blocks`.
     """
     pairs = read_pair_file(os.path.join(scan_folder, "pair.txt"))
+    if view_block is not None:
+        pairs = _pair_block(pairs, *view_block)
 
     def load_depth(vid):
         path = os.path.join(depth_folder, f"depth_est_0/{vid:08d}.pfm")
@@ -329,10 +372,14 @@ def fuse_scan(
             if r is not None:
                 results.append(r)
 
-    if not results:
+    if not results and view_block is None:
         raise RuntimeError(f"no fused points for {scan_folder} (missing depth maps?)")
-    xyz = np.concatenate([r[0] for r in results])
-    rgb = np.concatenate([r[1] for r in results])
+    # A single view block may legitimately fuse zero points; write an empty
+    # block so the merge step sees every block.
+    xyz = (np.concatenate([r[0] for r in results])
+           if results else np.zeros((0, 3), np.float32))
+    rgb = (np.concatenate([r[1] for r in results])
+           if results else np.zeros((0, 3), np.uint8))
     os.makedirs(os.path.dirname(ply_path) or ".", exist_ok=True)
     write_ply(ply_path, xyz, rgb)
     return len(xyz)

@@ -58,6 +58,11 @@ class InferConfig:
     # the axis — one jit cache entry per (shape, batch) instead of a strict
     # serial B=1 loop.  Ragged tails are padded by repeating the last
     # sample (the padded outputs are dropped before saving).
+    # With a ``spatial`` axis > 1, each sample's image rows are additionally
+    # sharded across it (GSPMD inserts conv halo exchanges), so ONE map can
+    # span several chips' HBM — the tiled high-res inference path
+    # (BASELINE north-star: "halo exchange for tiled high-res inference").
+    # H must divide by the spatial axis size.
     mesh: Any = None
 
 
@@ -143,12 +148,21 @@ def run_inference(
 
     mesh = config.mesh
     fanout = 1
-    batch_sharding = None
-    if mesh is not None and "data" in mesh.shape and mesh.shape["data"] > 1:
+    imgs_sharding = flat_sharding = None
+    if mesh is not None and (
+        mesh.shape.get("data", 1) > 1 or mesh.shape.get("spatial", 1) > 1
+    ):
         from jax.sharding import NamedSharding, PartitionSpec
 
-        fanout = int(mesh.shape["data"])
-        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        fanout = int(mesh.shape.get("data", 1))
+        # imgs (N, V, H, W, 3): batch over data, image rows over spatial —
+        # GSPMD propagates the row sharding through FeatNet / the sweep and
+        # inserts conv halo exchanges, so one map may exceed one chip's HBM.
+        spatial = "spatial" if mesh.shape.get("spatial", 1) > 1 else None
+        imgs_sharding = NamedSharding(
+            mesh, PartitionSpec("data", None, spatial)
+        )
+        flat_sharding = NamedSharding(mesh, PartitionSpec("data"))
         replicated = NamedSharding(mesh, PartitionSpec())
         params = jax.device_put(params, jax.tree.map(lambda _: replicated, params))
 
@@ -165,9 +179,10 @@ def run_inference(
         imgs = jnp.asarray(np.stack([s["imgs"] for s in padded]))
         proj = jnp.asarray(np.stack([s["proj_matrices"] for s in padded]))
         depths = jnp.asarray(np.stack([s["depth_values"] for s in padded]))
-        if batch_sharding is not None:
-            imgs, proj, depths = (
-                jax.device_put(x, batch_sharding) for x in (imgs, proj, depths)
+        if imgs_sharding is not None:
+            imgs = jax.device_put(imgs, imgs_sharding)
+            proj, depths = (
+                jax.device_put(x, flat_sharding) for x in (proj, depths)
             )
 
         # The axon TPU tunnel's block_until_ready returns WITHOUT waiting

@@ -110,7 +110,27 @@ class TestCLI:
             "--outdir", out, "--test_dataset", "dtu", "--photo_threshold", "0.0",
             "--num_workers", "2",
         ])
-        assert os.path.exists(os.path.join(out, "mvsnet_001_l3.ply"))
+        ply = os.path.join(out, "mvsnet_001_l3.ply")
+        assert os.path.exists(ply)
+
+        # distributed ref-view-block fuse: two blocks + merge == single run
+        from aa_rmvsnet_tpu.core.ply import read_ply
+
+        single_xyz, _ = read_ply(ply)
+        for b in range(2):
+            main([
+                "fuse", "--testpath", str(tmp_path), "--testlist", str(listfile),
+                "--outdir", out, "--test_dataset", "dtu",
+                "--photo_threshold", "0.0", "--num_workers", "2",
+                "--view_block", str(b), "--num_view_blocks", "2",
+            ])
+        main([
+            "fuse", "--testpath", str(tmp_path), "--testlist", str(listfile),
+            "--outdir", out, "--test_dataset", "dtu", "--photo_threshold", "0.0",
+            "--num_view_blocks", "2", "--merge_blocks",
+        ])
+        merged_xyz, _ = read_ply(ply)
+        np.testing.assert_array_equal(merged_xyz, single_xyz)
 
 
 class TestTrainCLI:

@@ -165,6 +165,37 @@ class TestFusion:
             n = 0
         assert n == 0
 
+    def test_view_block_merge_matches_single_host(self, tmp_path):
+        """Ref-view-block distributed fusion (SURVEY §7.1.6): fusing one
+        scan in contiguous blocks on separate 'hosts' and merging the
+        per-block PLYs must reproduce the single-host cloud exactly,
+        including vertex order."""
+        from aa_rmvsnet_tpu.pipeline.fuse import merge_ply_blocks
+
+        scene, gt, K, Es = make_plane_scene(tmp_path, H=64, W=80, num_views=4)
+        out_dir = os.path.join(tmp_path, "out", "scan1")
+        for v in range(4):
+            write_prediction(out_dir, v, gt, np.full_like(gt, 0.9))
+
+        single = os.path.join(tmp_path, "single.ply")
+        n_single = fuse_scan(scene, out_dir, single, FuseConfig(num_workers=2))
+
+        blocks = []
+        n_blocks = 0
+        for b in range(2):
+            path = os.path.join(tmp_path, f"part.block{b}of2.ply")
+            n_blocks += fuse_scan(scene, out_dir, path,
+                                  FuseConfig(num_workers=2), view_block=(b, 2))
+            blocks.append(path)
+        merged = os.path.join(tmp_path, "merged.ply")
+        n_merged = merge_ply_blocks(blocks, merged)
+
+        assert n_merged == n_blocks == n_single
+        ax, ac = read_ply(single)
+        bx, bc = read_ply(merged)
+        np.testing.assert_array_equal(bx, ax)
+        np.testing.assert_array_equal(bc, ac)
+
     def test_graduated_consistency_perfect_geometry(self, tmp_path):
         _, gt, K, Es = make_plane_scene(tmp_path, H=32, W=40, num_views=2)
         masks, reproj = graduated_consistency(
@@ -255,6 +286,43 @@ class TestInferenceFanout:
             ca, _ = read_pfm(os.path.join(out_serial, f"scan1/confidence_0/{v:08d}.pfm"))
             cb, _ = read_pfm(os.path.join(out_fan, f"scan1/confidence_0/{v:08d}.pfm"))
             np.testing.assert_allclose(cb, ca, atol=1e-5)
+
+
+class TestInferenceSpatialSharding:
+    def test_spatial_halo_matches_serial(self, tmp_path):
+        """(data=1, spatial=2): one map's rows span two devices (GSPMD halo
+        exchange); PFMs must match the single-device loop — the tiled
+        high-res inference path (BASELINE north-star)."""
+        from aa_rmvsnet_tpu.parallel.mesh import make_mesh
+
+        scene, gt, K, Es = make_plane_scene(tmp_path, H=32, W=40, num_views=3,
+                                            focal=200.0)
+        ds = EvalDataset(str(tmp_path), ["scan1"], nviews=3, ndepths=8,
+                         max_h=32, max_w=40)
+        params = init_params(jax.random.PRNGKey(0), 32, 40)
+
+        out_serial = os.path.join(tmp_path, "serial")
+        run_inference(params, ds,
+                      InferConfig(out_root=out_serial, depth_block=4,
+                                  feature_dtype=np.float32, num_workers=2),
+                      progress=False)
+
+        mesh = make_mesh(data=1, spatial=2, devices=jax.devices()[:2])
+        out_sp = os.path.join(tmp_path, "spatial")
+        stats = run_inference(
+            params, ds,
+            InferConfig(out_root=out_sp, depth_block=4,
+                        feature_dtype=np.float32, num_workers=2, mesh=mesh),
+            progress=False)
+        assert stats["count"] == 3
+
+        for v in range(3):
+            a, _ = read_pfm(os.path.join(out_serial, f"scan1/depth_est_0/{v:08d}.pfm"))
+            b, _ = read_pfm(os.path.join(out_sp, f"scan1/depth_est_0/{v:08d}.pfm"))
+            np.testing.assert_allclose(b, a, atol=1e-4)
+            ca, _ = read_pfm(os.path.join(out_serial, f"scan1/confidence_0/{v:08d}.pfm"))
+            cb, _ = read_pfm(os.path.join(out_sp, f"scan1/confidence_0/{v:08d}.pfm"))
+            np.testing.assert_allclose(cb, ca, atol=1e-4)
 
 
 class TestNativeFusionCore:

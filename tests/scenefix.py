@@ -37,9 +37,15 @@ def make_plane_scene(
     dint: float = 2.5,
     with_depth_end: bool = False,
     seed: int = 0,
+    textureless_rows: tuple[float, float] | None = None,
 ):
     """Write an MVSNet-format scene observing a fronto-parallel textured
     plane at ``plane_depth``; cameras translate along x by ``baseline``.
+
+    ``textureless_rows=(lo, hi)`` (fractions of H) paints that horizontal
+    band a CONSTANT color: matching there is ambiguous, so depth estimates
+    are unreliable — the scene then carries both well-constrained and
+    uncertain pixels (for uncertainty-learning tests).
 
     Returns (scene_dir, gt_depth (H, W), K, extrinsics list).
     """
@@ -54,6 +60,9 @@ def make_plane_scene(
     texture = cv2.GaussianBlur(
         rng.rand(H, tex_w, 3).astype(np.float32) * 255, (0, 0), 2.0
     )
+    if textureless_rows is not None:
+        lo, hi = (int(round(f * H)) for f in textureless_rows)
+        texture[lo:hi] = 127.0
 
     K = np.array([[focal, 0, W / 2.0], [0, focal, H / 2.0], [0, 0, 1]], np.float32)
     extrinsics = []

@@ -133,6 +133,54 @@ class TestCLI:
         np.testing.assert_array_equal(merged_xyz, single_xyz)
 
 
+class TestTnTHighRes:
+    @pytest.mark.slow
+    def test_1920x1056_preset_shapes_hold_together(self, tmp_path):
+        """BASELINE config #3 (TnT intermediate, 7 views, 1920x1056): the
+        padded dataset must emit that geometry from 1080p inputs and the
+        full sweep program must TRACE at it (jax.eval_shape — validates
+        every shape/layout constraint of the network without paying the
+        2-Mpx x D=512 compute on CPU)."""
+        import jax.numpy as jnp
+
+        from scenefix import make_plane_scene
+        from aa_rmvsnet_tpu.utils.config import eval_preset
+        from aa_rmvsnet_tpu.models.network import SweepConfig, forward
+
+        cfg = eval_preset("tnt_intermediate_1920")
+        assert (cfg.max_h, cfg.max_w, cfg.nviews, cfg.ndepths) == (1056, 1920, 7, 512)
+        assert cfg.inverse_depth and cfg.pad_vertical
+
+        make_plane_scene(tmp_path, H=1080, W=1920, num_views=3, focal=2000.0,
+                         with_depth_end=True)
+        from aa_rmvsnet_tpu.data import EvalDataset
+
+        ds = EvalDataset(str(tmp_path), ["scan1"], nviews=3,
+                         ndepths=cfg.ndepths, inverse_depth=cfg.inverse_depth,
+                         max_h=cfg.max_h, max_w=cfg.max_w,
+                         pad_vertical=cfg.pad_vertical)
+        s = ds[0]
+        assert s["imgs"].shape == (3, 1056, 1920, 3), s["imgs"].shape
+        assert s["depth_values"].shape == (512,)
+        assert np.all(np.diff(s["depth_values"]) > 0)
+
+        params = init_params(jax.random.PRNGKey(0), 32, 32)
+        out = jax.eval_shape(
+            lambda p, i, pr, d: forward(
+                p, i, pr, d,
+                SweepConfig(depth_block=cfg.depth_block, collect_volume=False,
+                            feature_dtype=jnp.bfloat16,
+                            table_dtype=jnp.float8_e4m3fn),
+            ),
+            params,
+            jax.ShapeDtypeStruct((1, 3, 1056, 1920, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3, 4, 4), jnp.float32),
+            jax.ShapeDtypeStruct((1, 512), jnp.float32),
+        )
+        assert out["depth"].shape == (1, 1056, 1920)
+        assert out["photometric_confidence"].shape == (1, 1056, 1920)
+
+
 class TestTrainCLI:
     def test_train_smoke_with_validation(self, tmp_path):
         """Two training steps + checkpoint + resume on a synthetic DTU tree."""

@@ -244,6 +244,14 @@ def main():
             "fails the 2 px packed-row exactness gate at this block size"
         )
     packed_rows = gate if packed_env == "auto" else packed_env == "1"
+    if not packed_rows and "BENCH_BLOCK" not in os.environ and block > 4:
+        # The unpacked block-8 north-star program is too large for the
+        # tunnel's remote compile helper (SIGKILL, the round-2 driver
+        # failure); round 1 measured unpacked at block 4.  Explicit
+        # BENCH_BLOCK keeps lever runs reproducible.
+        print("unpacked path: dropping depth_block 8 -> 4 (compiler limit)",
+              file=sys.stderr)
+        block = 4
 
     config = SweepConfig(
         depth_block=block, collect_volume=False, feature_dtype=dtype,

@@ -167,6 +167,18 @@ def _add_analyze(sub):
     return p
 
 
+def _add_viz(sub):
+    p = sub.add_parser("viz", help="model-graph visualization: flax tabulate "
+                                   "summary + graphviz DOT of the module "
+                                   "hierarchy (analog of the reference's "
+                                   "evidential/visu.py dev visualizer)")
+    p.add_argument("--out", default="viz", help="output directory")
+    p.add_argument("--loadckpt", help="optional checkpoint whose parameter "
+                                      "tree is graphed (default: fresh init)")
+    p.add_argument("--maxdisp", type=int, default=32)
+    return p
+
+
 def _add_quality(sub):
     p = sub.add_parser("quality", help="accuracy/completeness of a fused PLY "
                                        "vs a ground-truth point cloud")
@@ -611,6 +623,28 @@ def cmd_quality(args):
     print(json.dumps(metrics, indent=2))
 
 
+def cmd_viz(args):
+    """Render the real network's module summary + parameter-tree graph
+    (analog of the reference's evidential/visu.py / dataset_comparison.py
+    torchviz dev scratch, but on the ACTUAL modules)."""
+    import jax
+
+    from .models.network import init_params
+    from .utils.visualize import model_graph_dot, model_summary
+
+    os.makedirs(args.out, exist_ok=True)
+    summary_path = os.path.join(args.out, "model_summary.txt")
+    with open(summary_path, "w") as f:
+        f.write(model_summary(maxdisp=args.maxdisp))
+
+    params = (_load_params(args.loadckpt) if args.loadckpt
+              else init_params(jax.random.PRNGKey(0)))
+    dot_path = os.path.join(args.out, "model_graph.dot")
+    with open(dot_path, "w") as f:
+        f.write(model_graph_dot(params))
+    print(f"wrote {summary_path} and {dot_path}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="aa_rmvsnet_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -620,6 +654,7 @@ def main(argv=None):
     _add_convert(sub)
     _add_analyze(sub)
     _add_quality(sub)
+    _add_viz(sub)
     args = parser.parse_args(argv)
     dispatch = {
         "eval": cmd_eval,
@@ -628,6 +663,7 @@ def main(argv=None):
         "convert": cmd_convert,
         "analyze": cmd_analyze,
         "quality": cmd_quality,
+        "viz": cmd_viz,
     }
     dispatch[args.cmd](args)
 

@@ -133,6 +133,26 @@ class TestCLI:
         np.testing.assert_array_equal(merged_xyz, single_xyz)
 
 
+class TestVizCLI:
+    def test_viz_writes_summary_and_dot(self, tmp_path):
+        """`cli viz` — the model-graph visualizer analog (reference
+        evidential/visu.py / dataset_comparison.py render torchviz graphs
+        of toy stand-ins; ours tabulates + graphs the REAL modules)."""
+        from aa_rmvsnet_tpu.cli import main
+
+        out = str(tmp_path / "viz")
+        main(["viz", "--out", out])
+        summary = open(os.path.join(out, "model_summary.txt")).read()
+        for name in ("AARMVSNetCore", "EvidentialHead", "cost_regularization"):
+            assert name in summary, name
+        dot = open(os.path.join(out, "model_graph.dot")).read()
+        assert dot.startswith("digraph model")
+        for node in ("feature", "omega", "cell0", "conv_out"):
+            assert node in dot, node
+        # total params of the core tree appear on the root children
+        assert "18,432 params" in dot  # cell kernel, checkpoint-known size
+
+
 class TestTnTHighRes:
     @pytest.mark.slow
     def test_1920x1056_preset_shapes_hold_together(self, tmp_path):

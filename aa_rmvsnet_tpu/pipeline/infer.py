@@ -63,7 +63,16 @@ class InferConfig:
     # span several chips' HBM — the tiled high-res inference path
     # (BASELINE north-star: "halo exchange for tiled high-res inference").
     # H must divide by the spatial axis size.
+    # With a ``depth`` axis > 1 (exclusive with data/spatial fan-out and
+    # with an evidential head), batches of same-shape samples stream
+    # through the depth-block pipeline (parallel/depth_pipeline.py): each
+    # device owns one depth chunk, the ConvLSTM carry crosses devices via
+    # ppermute, and per-map latency drops ~Px once the pipeline fills.
     mesh: Any = None
+    # Maps per pipeline launch when the mesh has a depth axis; more maps
+    # amortize the P-1 fill/drain bubble but hold more patch tables in
+    # HBM.  Default 2*P.
+    pipeline_maps: int | None = None
 
 
 def _jitted_forward(config: InferConfig, with_volume: bool, packed: bool = False):
@@ -147,6 +156,22 @@ def run_inference(
         evidential_apply = make_evidential_apply(config.evidential_params)
 
     mesh = config.mesh
+    depth_stages = (
+        int(mesh.shape.get("depth", 1)) if mesh is not None else 1
+    )
+    if depth_stages > 1:
+        if need_volume:
+            raise ValueError(
+                "the depth-block pipeline cannot collect the cost volume; "
+                "run evidential inference on a data/spatial mesh"
+            )
+        if mesh.shape.get("data", 1) > 1 or mesh.shape.get("spatial", 1) > 1:
+            raise ValueError(
+                "depth-pipelined inference uses the depth axis exclusively; "
+                "build the mesh with data=1, spatial=1"
+            )
+        return _run_inference_depth_pipeline(params, dataset, config, progress)
+
     fanout = 1
     imgs_sharding = flat_sharding = None
     if mesh is not None and (
@@ -238,6 +263,111 @@ def run_inference(
             total += flush(bucket, packed=key[2])
             buckets[key] = []
     for key, bucket in buckets.items():  # ragged tails
+        if bucket:
+            total += flush(bucket, packed=key[2])
+
+    if failures:
+        print(f"run_inference: {len(failures)} sample(s) skipped due to load failures")
+    return {
+        "count": count,
+        "total_s": total,
+        "maps_per_s": count / max(total, 1e-9),
+        "failures": failures,
+    }
+
+
+def _run_inference_depth_pipeline(params, dataset, config: InferConfig,
+                                  progress: bool) -> dict:
+    """Depth-pipelined inference: batches of M same-shape maps stream
+    through the mesh's ``depth`` axis (parallel/depth_pipeline.py) — the
+    single-map-latency path for large scenes (D=512, per-chip batch 1)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..models.network import SweepConfig
+    from ..parallel.depth_pipeline import pipeline_forward
+
+    mesh = config.mesh
+    stages = int(mesh.shape["depth"])
+    M = config.pipeline_maps or 2 * stages
+
+    params = jax.device_put(
+        params, jax.tree.map(
+            lambda _: NamedSharding(mesh, PartitionSpec()), params)
+    )
+
+    _runs: dict = {}
+
+    def get_run(packed: bool):
+        if packed not in _runs:
+            sweep_config = SweepConfig(
+                depth_block=config.depth_block, collect_volume=False,
+                feature_dtype=config.feature_dtype,
+                fold_omega=config.fold_omega,
+                pallas_gates=config.pallas_gates,
+                table_dtype=config.table_dtype, packed_rows=packed,
+            )
+            _runs[packed] = jax.jit(
+                lambda p, i, pr, d: pipeline_forward(p, i, pr, d, mesh,
+                                                     sweep_config)
+            )
+        return _runs[packed]
+
+    count = 0
+    total = 0.0
+    failures: list[str] = []
+
+    def flush(group: list, packed: bool) -> float:
+        nonlocal count
+        run = get_run(packed)
+        padded = group + [group[-1]] * (M - len(group))
+        imgs = jnp.asarray(np.stack([s["imgs"] for s in padded]))[:, None]
+        proj = jnp.asarray(np.stack([s["proj_matrices"] for s in padded]))[:, None]
+        depths = jnp.asarray(np.stack([s["depth_values"] for s in padded]))[:, None]
+
+        t0 = time.perf_counter()
+        out = run(params, imgs, proj, depths)
+        depth_b = np.asarray(out["depth"])  # host fetch = the timing point
+        dt = time.perf_counter() - t0
+        conf_b = np.asarray(out["photometric_confidence"])
+
+        for i, sample in enumerate(group):
+            save_outputs(
+                os.path.join(config.out_root, sample["scan"]),
+                sample["ref_view"], depth_b[i, 0], conf_b[i, 0],
+                None, config.save_png_previews,
+            )
+            count += 1
+            if progress:
+                print(f"[{count}/{len(dataset)}] {sample['scan']}/"
+                      f"{sample['ref_view']:08d}  {dt / len(group):.3f}s "
+                      f"(pipeline x{stages})", flush=True)
+        return dt
+
+    def resolve_packed(sample) -> bool:
+        if config.packed_rows != "auto":
+            return bool(config.packed_rows)
+        from ..models.network import pick_packed_rows
+
+        H, W = sample["imgs"].shape[1:3]
+        return pick_packed_rows(
+            sample["proj_matrices"], sample["depth_values"], H, W,
+            config.depth_block,
+        )
+
+    buckets: dict = {}
+    for sample in prefetch_samples(dataset, num_workers=config.num_workers):
+        if isinstance(sample, Exception):
+            failures.append(str(sample))
+            print(f"SKIP (load failure): {sample}", flush=True)
+            continue
+        key = (sample["imgs"].shape, sample["depth_values"].shape,
+               resolve_packed(sample))
+        bucket = buckets.setdefault(key, [])
+        bucket.append(sample)
+        if len(bucket) == M:
+            total += flush(bucket, packed=key[2])
+            buckets[key] = []
+    for key, bucket in buckets.items():
         if bucket:
             total += flush(bucket, packed=key[2])
 

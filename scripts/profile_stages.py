@@ -79,9 +79,10 @@ def main():
         P[:3, :4] = K @ P[:3, :4]
         projs.append(P)
     proj = jnp.asarray(np.stack(projs)[None])
-    depth_block = jnp.asarray(
-        np.linspace(425.0, 935.0, block, dtype=np.float32)[None]
-    )
+    # One CONSECUTIVE block of the real D-deep sweep (fine sampling — the
+    # packed-row exactness gate is evaluated on this same spacing).
+    sweep_depths = np.linspace(425.0, 933.8, D, dtype=np.float32)
+    depth_block = jnp.asarray(sweep_depths[:block][None])
 
     # --- FeatNet ---
     feat_fn = jax.jit(lambda p, im: extract_features(p, im, bf16))
@@ -116,6 +117,28 @@ def main():
         t = timeit(fn, params16, ref_feat, tables, rot_grids, transes, depth_block)
         per_map = t * (D / block)
         print(f"cost_block_{name}_s: {t:.4f}  (x{D // block} blocks = {per_map:.2f})")
+
+    # --- packed cost block (4x4 rows serving the whole depth block) ---
+    from aa_rmvsnet_tpu.models.network import (
+        _build_cost_block_packed, pick_packed_rows,
+    )
+    from aa_rmvsnet_tpu.ops.patch_sample import build_patch_table4_quant
+
+    if pick_packed_rows(np.asarray(proj)[0], np.asarray(depth_block)[0], H, W, block):
+        t4_fn = jax.jit(jax.vmap(lambda f: build_patch_table4_quant(f)))
+        tables4, scales4 = t4_fn(src_feats)
+        t = timeit(t4_fn, src_feats)
+        print(f"patch_tables4_fp8_s: {t:.4f}")
+        fn = jax.jit(
+            lambda p, rf, tb, rg, tr, db, sc: _build_cost_block_packed(
+                p, rf, tb, rg, tr, db, sc)
+        )
+        t = timeit(fn, params16, ref_feat.astype(bf16), tables4, rot_grids,
+                   transes, depth_block, scales4)
+        per_map = t * (D / block)
+        print(f"cost_block_packed_s: {t:.4f}  (x{D // block} blocks = {per_map:.2f})")
+    else:
+        print("cost_block_packed_s: skipped (exactness gate fails at this block)")
 
     # --- ConvLSTM U-Net scan ---
     cell = UNetConvLSTM()

@@ -325,7 +325,50 @@ class TestInferenceSpatialSharding:
             np.testing.assert_allclose(cb, ca, atol=1e-4)
 
 
-class TestNativeFusionCore:
+class TestInferenceDepthPipeline:
+    def test_depth_pipeline_matches_serial(self, tmp_path):
+        """Mesh with a depth axis: maps stream through the pipeline
+        (parallel/depth_pipeline.py) and the PFMs match the serial loop
+        bit-for-bit on the depth map."""
+        from aa_rmvsnet_tpu.parallel.mesh import make_mesh
+
+        scene, gt, K, Es = make_plane_scene(tmp_path, H=32, W=40, num_views=3,
+                                            focal=200.0)
+        ds = EvalDataset(str(tmp_path), ["scan1"], nviews=3, ndepths=8,
+                         max_h=32, max_w=40)
+        params = init_params(jax.random.PRNGKey(0), 32, 40)
+
+        out_serial = os.path.join(tmp_path, "serial")
+        run_inference(params, ds,
+                      InferConfig(out_root=out_serial, depth_block=4,
+                                  feature_dtype=np.float32, num_workers=2),
+                      progress=False)
+
+        mesh = make_mesh(data=1, depth=2, devices=jax.devices()[:2])
+        out_pipe = os.path.join(tmp_path, "pipelined")
+        stats = run_inference(
+            params, ds,
+            InferConfig(out_root=out_pipe, depth_block=4,
+                        feature_dtype=np.float32, num_workers=2, mesh=mesh,
+                        pipeline_maps=2),  # 3 samples -> one full + ragged
+            progress=False)
+        assert stats["count"] == 3
+
+        for v in range(3):
+            a, _ = read_pfm(os.path.join(out_serial, f"scan1/depth_est_0/{v:08d}.pfm"))
+            b, _ = read_pfm(os.path.join(out_pipe, f"scan1/depth_est_0/{v:08d}.pfm"))
+            np.testing.assert_array_equal(b, a)
+            ca, _ = read_pfm(os.path.join(out_serial, f"scan1/confidence_0/{v:08d}.pfm"))
+            cb, _ = read_pfm(os.path.join(out_pipe, f"scan1/confidence_0/{v:08d}.pfm"))
+            np.testing.assert_allclose(cb, ca, atol=1e-5)
+
+    def test_depth_pipeline_rejects_evidential_and_mixed_axes(self, tmp_path):
+        from aa_rmvsnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=2, depth=2, devices=jax.devices()[:4])
+        with pytest.raises(ValueError, match="depth axis exclusively"):
+            run_inference(None, [], InferConfig(out_root=str(tmp_path),
+                                                mesh=mesh))
     def test_native_matches_numpy_path(self, tmp_path):
         from aa_rmvsnet_tpu.pipeline.native import available, fuse_pair_native
 

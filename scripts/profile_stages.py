@@ -104,7 +104,9 @@ def main():
     )
     rot_grids, transes = terms_fn(src_projs, proj[:, 0])
 
-    # --- one cost block, both layouts ---
+    # --- one cost block, each layout (independently fault-tolerant: a
+    # standalone stage can exceed HBM where the in-sweep program does not,
+    # because the sweep shares buffers across the scan) ---
     import functools
 
     for name, build in (("unfolded", _build_cost_block),
@@ -114,7 +116,12 @@ def main():
         fn = jax.jit(
             lambda p, rf, tb, rg, tr, db, _b=build: _b(p, rf, tb, rg, tr, db, None)
         )
-        t = timeit(fn, params16, ref_feat, tables, rot_grids, transes, depth_block)
+        try:
+            t = timeit(fn, params16, ref_feat, tables, rot_grids, transes,
+                       depth_block)
+        except Exception as e:
+            print(f"cost_block_{name}_s: failed ({str(e)[:120]})")
+            continue
         per_map = t * (D / block)
         print(f"cost_block_{name}_s: {t:.4f}  (x{D // block} blocks = {per_map:.2f})")
 
@@ -125,18 +132,21 @@ def main():
     from aa_rmvsnet_tpu.ops.patch_sample import build_patch_table4_quant
 
     if pick_packed_rows(np.asarray(proj)[0], np.asarray(depth_block)[0], H, W, block):
-        t4_fn = jax.jit(jax.vmap(lambda f: build_patch_table4_quant(f)))
-        tables4, scales4 = t4_fn(src_feats)
-        t = timeit(t4_fn, src_feats)
-        print(f"patch_tables4_fp8_s: {t:.4f}")
-        fn = jax.jit(
-            lambda p, rf, tb, rg, tr, db, sc: _build_cost_block_packed(
-                p, rf, tb, rg, tr, db, sc)
-        )
-        t = timeit(fn, params16, ref_feat.astype(bf16), tables4, rot_grids,
-                   transes, depth_block, scales4)
-        per_map = t * (D / block)
-        print(f"cost_block_packed_s: {t:.4f}  (x{D // block} blocks = {per_map:.2f})")
+        try:
+            t4_fn = jax.jit(jax.vmap(lambda f: build_patch_table4_quant(f)))
+            tables4, scales4 = t4_fn(src_feats)
+            t = timeit(t4_fn, src_feats)
+            print(f"patch_tables4_fp8_s: {t:.4f}")
+            fn = jax.jit(
+                lambda p, rf, tb, rg, tr, db, sc: _build_cost_block_packed(
+                    p, rf, tb, rg, tr, db, sc)
+            )
+            t = timeit(fn, params16, ref_feat.astype(bf16), tables4, rot_grids,
+                       transes, depth_block, scales4)
+            per_map = t * (D / block)
+            print(f"cost_block_packed_s: {t:.4f}  (x{D // block} blocks = {per_map:.2f})")
+        except Exception as e:
+            print(f"cost_block_packed_s: failed ({str(e)[:120]})")
     else:
         print("cost_block_packed_s: skipped (exactness gate fails at this block)")
 

@@ -80,6 +80,16 @@ def _add_eval(sub):
     p.add_argument("--fanout", type=int, default=1,
                    help="shard batches of N same-shape samples across a "
                         "data mesh axis of N devices (eval fleet mode)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard each map's image rows across N devices "
+                        "(halo-exchange tiled inference: one map may "
+                        "exceed one chip's HBM; H must divide by N)")
+    p.add_argument("--depth_stages", type=int, default=1,
+                   help="pipeline depth chunks across N devices (ConvLSTM "
+                        "carry handed over via ppermute; exclusive with "
+                        "--fanout/--spatial and --evidential_ckpt)")
+    p.add_argument("--pipeline_maps", type=int, default=None,
+                   help="maps per depth-pipeline launch (default 2x stages)")
     return p
 
 
@@ -254,13 +264,18 @@ def cmd_eval(args):
     if depth_source == "evidential" and ev_params is None:
         raise SystemExit("--depth_source evidential requires --evidential_ckpt")
     mesh = None
-    if args.fanout > 1:
+    if args.fanout > 1 or args.spatial > 1 or args.depth_stages > 1:
         import jax
 
         from .parallel.mesh import make_mesh
 
-        mesh = make_mesh(data=args.fanout,
-                         devices=jax.devices()[: args.fanout])
+        if args.depth_stages > 1 and (args.fanout > 1 or args.spatial > 1):
+            raise SystemExit(
+                "--depth_stages is exclusive with --fanout/--spatial"
+            )
+        n = args.fanout * args.spatial * args.depth_stages
+        mesh = make_mesh(data=args.fanout, spatial=args.spatial,
+                         depth=args.depth_stages, devices=jax.devices()[:n])
     stats = run_inference(
         params, ds,
         InferConfig(
@@ -271,7 +286,7 @@ def cmd_eval(args):
             fold_omega=args.fold_omega, pallas_gates=args.pallas_gates,
             packed_rows=args.packed_rows,
             table_dtype=jnp.float8_e4m3fn if args.fp8_tables else None,
-            mesh=mesh,
+            mesh=mesh, pipeline_maps=args.pipeline_maps,
         ),
     )
     print(f"eval done: {stats['count']} maps, {stats['maps_per_s']:.3f} maps/s")

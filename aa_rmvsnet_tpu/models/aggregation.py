@@ -33,28 +33,62 @@ class InterViewAA(nn.Module):
         return nn.sigmoid(x)
 
 
-def _gn1(x, scale, bias, eps=1e-5):
-    """GroupNorm(num_groups=1): stats per image over (H, W, C)."""
+def _group_norm_folded(x, scale, bias, groups: int, channels: int, eps=1e-5):
+    """GroupNorm(num_groups=1 per volume) on a G-folded channel axis: stats
+    are per (image, folded-volume) over (H, W, channels).
+
+    Every H x W-sized tensor stays in the folded ``(N, H, W, G*C)`` layout:
+    reshaping to ``(N, H, W, G, C)`` for the stats would materialize a
+    minor-C=4 tensor that TPU tiling pads 32x (observed 7.6 GB HLO temps
+    at the north-star config).  Only the (N, G*C)-shaped moment vectors are
+    ever reshaped to split groups.
+    """
+    N, H, W, GC = x.shape
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
-    norm = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    # Two-pass moments: per-channel means over (H, W), then the per-group
+    # mean of those (equal counts -> exact group mean).
+    mu_c = jnp.mean(x32, axis=(1, 2))  # (N, GC)
+    mu_g = jnp.mean(mu_c.reshape(N, groups, channels), axis=2)  # (N, G)
+    mean = jnp.repeat(mu_g, channels, axis=1)[:, None, None, :]  # (N,1,1,GC)
+    d = x32 - mean
+    var_c = jnp.mean(jnp.square(d), axis=(1, 2))  # (N, GC)
+    var_g = jnp.mean(var_c.reshape(N, groups, channels), axis=2)  # (N, G)
+    inv = jnp.repeat(jax.lax.rsqrt(var_g + eps), channels, axis=1)
+    norm = (d * inv[:, None, None, :]).astype(x.dtype)
     return norm * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def _block_diag_kernel(kernel: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Tile a ``(kh, kw, Cin, Cout)`` kernel into a block-diagonal
+    ``(kh, kw, G*Cin, G*Cout)`` one: a DENSE conv with it equals the
+    G-grouped conv exactly (off-diagonal blocks are zero)."""
+    kh, kw, cin, cout = kernel.shape
+    eye = jnp.eye(groups, dtype=kernel.dtype)  # (G, G)
+    # (kh, kw, G, Cin, G, Cout) with zeros off the group diagonal.
+    bd = jnp.einsum("hwio,gk->hwgiko", kernel, eye)
+    return bd.reshape(kh, kw, groups * cin, groups * cout)
 
 
 def omega_folded(params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
     """Apply the omega network with ``groups`` volumes folded into channels.
 
-    Implementation note (round-3): this runs an UNROLLED Python loop over
-    the G folded volumes, each a plain dense-conv application of the omega
-    net on that volume's ``(N, H, W, 32)`` channel slice.  The earlier
-    grouped-conv form (``feature_group_count=G``) is mathematically the
-    same but XLA's TPU lowering materializes layout-constrained copies of
-    the conv operands in a 5D ``(N, H, W, G, 4)`` minor-4 shape — 32x lane
-    padding, observed 2 x 7.6 GB HLO temps at the north-star config
-    (864x1152, G=8), an OOM.  Per-group slices keep every intermediate in
-    a 2D-tiled layout XLA handles without padded copies, and the unrolled
-    tiny convs fuse/overlap freely.
+    Implementation note (round-3): the G-grouped convs run as DENSE convs
+    with block-diagonal kernels.  Rationale, in order of what failed:
+
+    - ``feature_group_count=G`` convs: XLA's TPU lowering materializes
+      layout-constrained 5D ``(N, H, W, G, 4)`` minor-4 copies — 32x lane
+      padding, 2 x 7.6 GB HLO temps at the north-star config (OOM).
+    - an unrolled per-group loop: every group's ``(N, H, W, 4)``
+      intermediate pads to 128 lanes — the SAME padded bytes as an
+      all-groups ``(N, H, W, G*4)`` tensor, so the loop pays the padded
+      HBM stream G times over (~18 s/map of the round-3 bench's 36 s).
+    - block-diagonal dense convs keep ONE ``(N, H, W, G*4)`` stream per
+      stage (G=8: 32 lanes, 4x padding instead of 32x) and spend the G-fold
+      FLOP waste on conv throughput this chip has idle (measured ~8 TFLOPS
+      effective on the ConvLSTM vs the sweep being HBM-limited here).
+
+    Numerically identical to the canonical module (off-diagonal zeros
+    contribute nothing; parity-tested).
 
     Args:
       params: the ``omega`` parameter subtree (as produced by
@@ -66,31 +100,31 @@ def omega_folded(params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
       ``(N, H, W, groups)`` sigmoid weight maps (one channel per volume).
     """
     dtype = x.dtype
-    C = x.shape[-1] // groups
+    tile_vec = lambda v: jnp.tile(v.astype(dtype), (groups,))
 
     def conv(x, kernel, bias, pad):
         y = jax.lax.conv_general_dilated(
-            x, kernel.astype(dtype), (1, 1), ((pad, pad), (pad, pad)),
+            x, _block_diag_kernel(kernel.astype(dtype), groups), (1, 1),
+            ((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y + bias.astype(dtype)
+        return y + tile_vec(bias)
 
     rw0, rw1, rw2 = params["rw0"], params["rw1"], params["rw2"]
 
-    outs = []
-    for g in range(groups):
-        xg = x[..., g * C : (g + 1) * C]
-        y = conv(xg, rw0["conv"]["kernel"], rw0["conv"]["bias"], pad=1)
-        y = nn.relu(_gn1(y, rw0["gn"]["scale"], rw0["gn"]["bias"]))
+    y = conv(x, rw0["conv"]["kernel"], rw0["conv"]["bias"], pad=1)
+    y = _group_norm_folded(y, tile_vec(rw0["gn"]["scale"]),
+                           tile_vec(rw0["gn"]["bias"]), groups, 4)
+    y = nn.relu(y)
 
-        z = conv(y, rw1["stem0"]["conv"]["kernel"],
-                 rw1["stem0"]["conv"]["bias"], pad=0)
-        z = nn.relu(_gn1(z, rw1["stem0"]["gn"]["scale"],
-                         rw1["stem0"]["gn"]["bias"]))
-        z = conv(z, rw1["stem1"]["kernel"], rw1["stem1"]["bias"], pad=0)
-        z = _gn1(z, rw1["gn"]["scale"], rw1["gn"]["bias"])
-        y = nn.relu(z + y)
+    z = conv(y, rw1["stem0"]["conv"]["kernel"], rw1["stem0"]["conv"]["bias"], pad=0)
+    z = _group_norm_folded(z, tile_vec(rw1["stem0"]["gn"]["scale"]),
+                           tile_vec(rw1["stem0"]["gn"]["bias"]), groups, 4)
+    z = nn.relu(z)
+    z = conv(z, rw1["stem1"]["kernel"], rw1["stem1"]["bias"], pad=0)
+    z = _group_norm_folded(z, tile_vec(rw1["gn"]["scale"]),
+                           tile_vec(rw1["gn"]["bias"]), groups, 4)
+    y = nn.relu(z + y)
 
-        w = conv(y, rw2["kernel"], rw2["bias"], pad=0)
-        outs.append(nn.sigmoid(w[..., 0]))  # (N, H, W)
-    return jnp.stack(outs, axis=-1)
+    w = conv(y, rw2["kernel"], rw2["bias"], pad=0)  # (N, H, W, G)
+    return nn.sigmoid(w)

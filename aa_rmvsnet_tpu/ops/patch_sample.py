@@ -264,16 +264,20 @@ def patch_bilinear_sample_packed(
         rows = rows.astype(out_dtype)
         if scale is not None:
             rows = rows * scale.astype(out_dtype)
-        patches = rows.reshape(B, gt, 4, 4, C)  # (B, gt, ty, tx, C)
+        patches = rows.reshape(B, gt, 16, C)  # (B, gt, tap, C)
 
-        # Per-sample tent weights over the 4 patch rows / cols; separable
-        # contraction keeps it at 20C (not 32C) MACs per sample on the VPU.
+        # Per-sample tent weights over the 4 patch rows / cols, combined
+        # into ONE (B, gt, K, 16) tap-weight tensor so the whole blend is a
+        # single batched (K x 16) @ (16 x C) contraction — the two-stage
+        # separable form materialized a (B, gt, K, 4, C) minor-C temp whose
+        # 4x lane padding made the blend HBM-bound (~0.3 s/block at the
+        # north-star config).
         wx = tent(xt[..., None] - (ax[:, :, None, None] + taps))  # (B, gt, K, 4)
         wy = tent(yt[..., None] - (ay[:, :, None, None] + taps))
-        tmp = jnp.einsum(
-            "bgrtc,bgkt->bgkrc", patches, wx.astype(out_dtype)
-        )  # contract cols
-        out = jnp.einsum("bgkrc,bgkr->bgkc", tmp, wy.astype(out_dtype))
+        w16 = (wy[..., :, None] * wx[..., None, :]).reshape(B, gt, K, 16)
+        out = jnp.einsum(
+            "bgkt,bgtc->bgkc", w16.astype(out_dtype), patches
+        )
         # Fold (K, C) -> K*C inside the tile: the stacked full-frame result
         # then never exists in a 32-lane-minor layout.
         return out.reshape(B, gt, K * C)

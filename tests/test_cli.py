@@ -132,6 +132,44 @@ class TestCLI:
         merged_xyz, _ = read_ply(ply)
         np.testing.assert_array_equal(merged_xyz, single_xyz)
 
+    def test_eval_cli_spatial_and_depth_stage_meshes(self, tmp_path):
+        """--spatial (halo-tiled maps) and --depth_stages (pipelined depth
+        chunks) produce the same PFMs as the serial CLI eval."""
+        ckpt = "/root/reference/checkpoints/model_dtu_v2.ckpt"
+        if not os.path.exists(ckpt):
+            pytest.skip("shipped checkpoint absent")
+        from aa_rmvsnet_tpu.cli import main
+        from aa_rmvsnet_tpu.core.pfm import read_pfm
+
+        make_plane_scene(tmp_path, H=32, W=40, num_views=3, focal=200.0)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+        common = [
+            "eval", "--testpath", str(tmp_path), "--testlist", str(listfile),
+            "--preset", "dtu_eval_smoke", "--loadckpt", ckpt,
+            "--numdepth", "8", "--max_h", "32", "--max_w", "40", "--fp32",
+            "--depth_block", "4",
+        ]
+        serial = str(tmp_path / "serial")
+        main([*common, "--outdir", serial])
+        spatial = str(tmp_path / "spatial")
+        main([*common, "--outdir", spatial, "--spatial", "2"])
+        piped = str(tmp_path / "piped")
+        main([*common, "--outdir", piped, "--depth_stages", "2"])
+
+        for v in range(3):
+            ref = read_pfm(os.path.join(serial, f"scan1/depth_est_0/{v:08d}.pfm"))[0]
+            for out, tol in ((spatial, 1e-4), (piped, 0.0)):
+                got = read_pfm(os.path.join(out, f"scan1/depth_est_0/{v:08d}.pfm"))[0]
+                if tol:
+                    np.testing.assert_allclose(got, ref, atol=tol)
+                else:
+                    np.testing.assert_array_equal(got, ref)
+
+        with pytest.raises(SystemExit, match="exclusive"):
+            main([*common, "--outdir", str(tmp_path / "bad"),
+                  "--depth_stages", "2", "--spatial", "2"])
+
 
 class TestVizCLI:
     def test_viz_writes_summary_and_dot(self, tmp_path):

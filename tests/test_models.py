@@ -327,6 +327,28 @@ class TestOmegaFolded:
             )
             np.testing.assert_allclose(back, ref, atol=1e-5)
 
+    def test_block_diag_kernel_equals_grouped_conv(self):
+        """The dense block-diagonal kernel (round-3 omega implementation)
+        must reproduce feature_group_count exactly."""
+        from aa_rmvsnet_tpu.models.aggregation import _block_diag_kernel
+
+        rng = np.random.RandomState(0)
+        G, cin, cout = 4, 5, 3
+        k = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32))
+        x = jnp.asarray(rng.randn(2, 8, 9, G * cin).astype(np.float32))
+
+        grouped = jax.lax.conv_general_dilated(
+            x, jnp.tile(k, (1, 1, 1, G)), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=G,
+        )
+        dense = jax.lax.conv_general_dilated(
+            x, _block_diag_kernel(k, G), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(grouped),
+                                   atol=1e-5)
+
 
 class TestSweepLevers:
     """The perf levers must be numerically transparent end-to-end: the

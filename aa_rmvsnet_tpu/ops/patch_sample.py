@@ -176,11 +176,20 @@ def build_patch_table4_quant(feat: jnp.ndarray, dtype=jnp.float8_e4m3fn):
     return table, jnp.tile(scale.reshape(B, 1, C), (1, 1, 16))
 
 
+#: default per-tile budget for the packed blend's padded temporaries;
+#: overridable for experiments via AA_RMVSNET_TILE_MB.
+import os as _os
+
+_TILE_TARGET_BYTES = int(_os.environ.get("AA_RMVSNET_TILE_MB", "128")) * 2**20
+
+
 def _packed_tile_pixels(G: int, K: int, out_itemsize: int,
-                        target_bytes: int = 128 * 2**20) -> int:
+                        target_bytes: int | None = None) -> int:
     """Largest divisor of G whose per-tile blend intermediates stay under
     ``target_bytes`` (estimated at the TPU-padded size: the (B, Gt, K, 4, C)
     einsum temp carries a 128-lane-padded minor axis)."""
+    if target_bytes is None:
+        target_bytes = _TILE_TARGET_BYTES
     per_px = K * 4 * 128 * out_itemsize
     max_gt = max(1, target_bytes // per_px)
     if G <= max_gt:
@@ -200,7 +209,7 @@ def patch_bilinear_sample_packed(
     scale: jnp.ndarray | None = None,
     compute_dtype=None,
     folded_out: bool = False,
-    tile_target_bytes: int = 128 * 2**20,
+    tile_target_bytes: int | None = None,
 ) -> jnp.ndarray:
     """Bilinear-sample K grouped coordinates per ONE 4x4-patch gather row.
 

@@ -22,6 +22,8 @@ every clamping case (in-bounds, straddling the border, fully outside).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 #: max finite magnitude of float8_e4m3fn — quantization scales map each
@@ -177,10 +179,9 @@ def build_patch_table4_quant(feat: jnp.ndarray, dtype=jnp.float8_e4m3fn):
 
 
 #: default per-tile budget for the packed blend's padded temporaries;
-#: overridable for experiments via AA_RMVSNET_TILE_MB.
-import os as _os
-
-_TILE_TARGET_BYTES = int(_os.environ.get("AA_RMVSNET_TILE_MB", "128")) * 2**20
+#: overridable for experiments via AA_RMVSNET_TILE_MB (512 MB measured
+#: slightly slower than 128 MB at the north-star config, BENCHMARKS.md).
+_TILE_TARGET_BYTES = int(os.environ.get("AA_RMVSNET_TILE_MB", "128")) * 2**20
 
 
 def _packed_tile_pixels(G: int, K: int, out_itemsize: int,

@@ -89,6 +89,29 @@ class TestDepthPipeline:
                 np.asarray(out["depth"][m]), np.asarray(ref["depth"])
             )
 
+    def test_matches_with_packed_rows(self):
+        """The packed 4x4-row build inside the pipeline stages (the
+        _select_build dispatch) is bit-exact vs the serial packed sweep."""
+        from aa_rmvsnet_tpu.models.network import pick_packed_rows
+
+        mesh = make_mesh(data=4, depth=2)
+        imgs, proj, depths = _map_stack(M=2, D=8, seed=5)
+        # ~0.2 px/step at this geometry: the block-2 packed gate passes.
+        assert pick_packed_rows(np.asarray(proj[0, 0]),
+                                np.asarray(depths[0, 0]), 16, 16, 2)
+        params = init_params(jax.random.PRNGKey(2), 16, 16)
+        cfg = SweepConfig(depth_block=2, collect_volume=False,
+                          packed_rows=True)
+
+        out = jax.jit(
+            lambda p, i, pr, d: pipeline_forward(p, i, pr, d, mesh, cfg)
+        )(params, imgs, proj, depths)
+        for m in range(2):
+            ref = forward(params, imgs[m], proj[m], depths[m], cfg)
+            np.testing.assert_array_equal(
+                np.asarray(out["depth"][m]), np.asarray(ref["depth"])
+            )
+
     def test_rejects_collect_volume_and_bad_depth_split(self):
         mesh = make_mesh(data=2, depth=4)
         imgs, proj, depths = _map_stack(M=1, D=8)

@@ -196,6 +196,41 @@ class TestFusion:
         np.testing.assert_array_equal(bx, ax)
         np.testing.assert_array_equal(bc, ac)
 
+    def test_padded_variant_fuses_plane_and_view_blocks(self, tmp_path):
+        """fuse_scan_padded (TnT row-padding pipeline, reference
+        fusion_padding.py): half-res predictions with 4 pad rows fuse onto
+        the GT plane, and view-block + merge reproduces the single run."""
+        from aa_rmvsnet_tpu.pipeline.fuse import (
+            FuseConfig, fuse_scan_padded, merge_ply_blocks,
+        )
+
+        # Full-res scene 64x80; predictions at half-res (32x40) + 4 pad
+        # rows = 36 rows (the variant crops 2 top/bottom before use).
+        scene, _, K, Es = make_plane_scene(tmp_path, H=64, W=80, num_views=4)
+        out_dir = os.path.join(tmp_path, "out", "scan1")
+        half_gt = np.full((32, 40), 500.0, np.float32)
+        padded = np.pad(half_gt, ((2, 2), (0, 0)))
+        conf = np.pad(np.full((32, 40), 0.9, np.float32), ((2, 2), (0, 0)))
+        for v in range(4):
+            write_prediction(out_dir, v, padded, conf)
+
+        single = os.path.join(tmp_path, "single.ply")
+        n = fuse_scan_padded(scene, out_dir, single, num_workers=2)
+        assert n > 0.5 * 4 * 32 * 40, n
+        xyz, _ = read_ply(single)
+        np.testing.assert_allclose(xyz[:, 2], 500.0, atol=1.0)
+
+        blocks = []
+        for b in range(2):
+            path = os.path.join(tmp_path, f"p.block{b}of2.ply")
+            fuse_scan_padded(scene, out_dir, path, num_workers=2,
+                             view_block=(b, 2))
+            blocks.append(path)
+        merged = os.path.join(tmp_path, "merged.ply")
+        n_merged = merge_ply_blocks(blocks, merged)
+        assert n_merged == n
+        np.testing.assert_array_equal(read_ply(merged)[0], xyz)
+
     def test_graduated_consistency_perfect_geometry(self, tmp_path):
         _, gt, K, Es = make_plane_scene(tmp_path, H=32, W=40, num_views=2)
         masks, reproj = graduated_consistency(

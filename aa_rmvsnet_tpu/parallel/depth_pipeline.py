@@ -31,8 +31,6 @@ latency; training/evidential paths use the single-device sweep with the
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -105,10 +105,26 @@ def save_outputs(out_dir: str, ref_view: int, depth: np.ndarray, confidence: np.
             os.makedirs(os.path.join(out_dir, key), exist_ok=True)
             save_pfm(os.path.join(out_dir, key, name + ".pfm"), arr.astype(np.float32))
     if save_png:
+        # PNG previews for EVERY map family the PFMs are written for
+        # (reference eval.py:158-160 writes depth/confidence/uncertainty
+        # previews via datasets/data_io.py:77-128): depth uses the inverted
+        # jet colormap, confidence/uncertainty the min-max "relative" mode.
         from ..utils.visualize import save_depth_png
 
         os.makedirs(os.path.join(out_dir, "depth_png_0"), exist_ok=True)
         save_depth_png(os.path.join(out_dir, "depth_png_0", name + ".png"), depth)
+        os.makedirs(os.path.join(out_dir, "confidence_png_0"), exist_ok=True)
+        save_depth_png(
+            os.path.join(out_dir, "confidence_png_0", name + ".png"),
+            confidence, mode="relative",
+        )
+        if uncertainty:
+            for key, arr in uncertainty.items():
+                png_dir = os.path.join(out_dir, key.replace("_0", "_png_0"))
+                os.makedirs(png_dir, exist_ok=True)
+                save_depth_png(
+                    os.path.join(png_dir, name + ".png"), arr, mode="relative"
+                )
 
 
 def run_inference(
@@ -212,13 +228,14 @@ def run_inference(
 
         # The axon TPU tunnel's block_until_ready returns WITHOUT waiting
         # (CLAUDE.md); the timing point must force a device-to-host fetch.
-        # np.asarray pulls the whole depth batch — the fetch itself is part
-        # of the map's delivery cost, so including it is the honest number.
+        # np.asarray pulls the whole depth AND confidence batches — both
+        # fetches are part of the map's delivery cost, so both sit inside
+        # the timed region.
         t0 = time.perf_counter()
         out = run(params, imgs, proj, depths)
         depth_b = np.asarray(out["depth"])
-        dt = time.perf_counter() - t0
         conf_b = np.asarray(out["photometric_confidence"])
+        dt = time.perf_counter() - t0
         ev = None
         if need_volume:
             ev = {k: np.asarray(v) for k, v in
@@ -326,9 +343,9 @@ def _run_inference_depth_pipeline(params, dataset, config: InferConfig,
 
         t0 = time.perf_counter()
         out = run(params, imgs, proj, depths)
-        depth_b = np.asarray(out["depth"])  # host fetch = the timing point
-        dt = time.perf_counter() - t0
+        depth_b = np.asarray(out["depth"])  # host fetches = the timing point
         conf_b = np.asarray(out["photometric_confidence"])
+        dt = time.perf_counter() - t0
 
         for i, sample in enumerate(group):
             save_outputs(

@@ -38,8 +38,45 @@ def export_forward(params, input_shape=(1, 3, 64, 80, 3), num_depth: int = 16,
     return exported.serialize(), exported
 
 
+def export_evidential(variables, input_shape=(1, 32, 64, 80), maxdisp: int = 32):
+    """Export the evidential uncertainty head (the reference exports BOTH
+    sub-models, statistics.py:26-55 — this completes the pair beside
+    :func:`export_forward`).
+
+    The exported function takes ``(variables, cost_volume, depth_values)``
+    and returns the head's ``{gamma, nu, alpha, beta}`` dict, with the
+    depth-axis softmax folded in (matching the inference driver's
+    ``make_evidential_apply``).
+    """
+    from jax import export as jax_export
+
+    from ..models.evidential import EvidentialHead
+
+    B, D, H, W = input_shape
+    head = EvidentialHead(maxdisp=maxdisp)
+
+    def fn(variables, cost_volume, depth_values):
+        prob = jax.nn.softmax(cost_volume.astype(jnp.float32), axis=1)
+        return head.apply(variables, prob, depth_values, train=False)
+
+    args = (
+        variables,
+        jnp.zeros(input_shape, jnp.float32),
+        jnp.linspace(400.0, 600.0, D, dtype=jnp.float32)[None].repeat(B, 0),
+    )
+    exported = jax_export.export(jax.jit(fn))(*args)
+    return exported.serialize(), exported
+
+
 def save_exported(path, params, **kwargs) -> int:
     data, _ = export_forward(params, **kwargs)
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def save_exported_evidential(path, variables, **kwargs) -> int:
+    data, _ = export_evidential(variables, **kwargs)
     with open(path, "wb") as f:
         f.write(data)
     return len(data)

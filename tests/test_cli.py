@@ -379,7 +379,13 @@ class TestEvidentialCLI:
             assert os.path.exists(path), sub
             arr = read_pfm(path)[0]
             assert np.isfinite(arr).all(), sub
-        assert os.path.exists(os.path.join(out, "scan1/depth_png_0/00000000.png"))
+        # --save_png writes previews for EVERY map family it writes PFMs
+        # for (reference eval.py:158-160).
+        for sub in ("depth_png_0", "confidence_png_0", "epistemic_png_0",
+                    "aleatoric_png_0"):
+            assert os.path.exists(
+                os.path.join(out, "scan1", sub, "00000000.png")
+            ), sub
 
 
 class TestQualityCLI:

@@ -9,6 +9,39 @@ from aa_rmvsnet_tpu.models import init_params
 from aa_rmvsnet_tpu.utils.export import save_exported, load_and_call
 
 
+def test_export_evidential_roundtrip(tmp_path):
+    """The exported evidential head reproduces EvidentialHead.apply
+    (completes the reference's two-sub-model export, statistics.py:26-55)."""
+    from jax import export as jax_export
+
+    from aa_rmvsnet_tpu.models.evidential import (
+        EvidentialHead, init_evidential,
+    )
+    from aa_rmvsnet_tpu.utils.export import save_exported_evidential
+
+    variables = init_evidential(jax.random.PRNGKey(1), 16, 16, maxdisp=8)
+    path = tmp_path / "evidential.stablehlo"
+    n = save_exported_evidential(
+        str(path), variables, input_shape=(1, 8, 16, 16), maxdisp=8
+    )
+    assert n > 0
+
+    rng = np.random.RandomState(1)
+    vol = jnp.asarray(rng.randn(1, 8, 16, 16).astype(np.float32))
+    depths = jnp.asarray(np.linspace(400, 600, 8, dtype=np.float32)[None])
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    out = exported.call(variables, vol, depths)
+
+    head = EvidentialHead(maxdisp=8)
+    prob = jax.nn.softmax(vol, axis=1)
+    want = head.apply(variables, prob, depths, train=False)
+    for key in ("gamma", "nu", "alpha", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(want[key]), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_export_roundtrip(tmp_path):
     params = init_params(jax.random.PRNGKey(0), 16, 16)
     path = tmp_path / "model.stablehlo"

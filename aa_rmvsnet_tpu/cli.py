@@ -353,7 +353,7 @@ def cmd_train(args):
     import numpy as np
 
     from .data.dtu import DTUTrainDataset
-    from .data.loader import prefetch_samples, batched
+    from .data.loader import resilient_samples, batched
     from .models.network import init_params
     from .models.convert import load_torch_checkpoint
     from .pipeline.train import (
@@ -467,10 +467,20 @@ def cmd_train(args):
     rng = np.random.RandomState(jax.process_index())
     step = start_step
     meter = MeterDict()
+    skips = {"n": 0}
+
+    def on_skip(exc):
+        # Loader failure: the sample is substituted (resilient_samples keeps
+        # the per-host step count fixed — multi-host safety), counted, and
+        # reported so a silently rotting dataset is visible in the logs.
+        skips["n"] += 1
+        print(f"SKIP (train load failure #{skips['n']}): {exc}", flush=True)
+
     for epoch in range(start_step // steps_per_epoch, args.epochs):
         order = rng.permutation(len(ds))
         it = batched(
-            prefetch_samples(ds, order, num_workers=args.num_workers),
+            resilient_samples(ds, order, num_workers=args.num_workers,
+                              on_skip=on_skip),
             args.batch_size, drop_last=True,
         )
         for batch in itertools.islice(it, steps_per_epoch):
@@ -506,7 +516,8 @@ def cmd_train(args):
         if val_ds is not None and val_steps:
             vmeter = MeterDict()
             vit = batched(
-                prefetch_samples(val_ds, num_workers=args.num_workers),
+                resilient_samples(val_ds, num_workers=args.num_workers,
+                                  on_skip=on_skip),
                 args.batch_size, drop_last=True,
             )
             for vbatch in itertools.islice(vit, val_steps):
@@ -521,6 +532,9 @@ def cmd_train(args):
                 print(f"epoch {epoch} fulltest: " +
                       " ".join(f"{k}={v:.4f}" for k, v in vm.items()), flush=True)
     manager.wait_until_finished()
+    if skips["n"]:
+        print(f"training finished with {skips['n']} substituted load "
+              f"failure(s)", flush=True)
     if logger is not None:
         logger.close()
 

@@ -47,6 +47,50 @@ def prefetch_samples(
             yield out
 
 
+def resilient_samples(
+    dataset,
+    indices: Iterable[int] | None = None,
+    num_workers: int = 8,
+    lookahead: int = 16,
+    on_skip=None,
+) -> Iterator[dict]:
+    """Fault-tolerant training stream: yield EXACTLY ``len(indices)``
+    good samples even when some loads fail.
+
+    A loader failure (corrupt image, missing cam file) is replaced by the
+    most recent good sample; failures before the first good sample are
+    back-filled as soon as one arrives.  The fixed yield count is the
+    multi-host safety property: every host takes the same number of steps
+    per epoch, so a corrupt file on one host's shard cannot desynchronize
+    the collectives (the reference merely swallowed bad batches,
+    train.py:226-247, which shrinks the epoch on the affected host).
+
+    ``on_skip(exc)`` is called for every replaced failure (skip counters /
+    logging).  Raises RuntimeError if NO sample in the epoch loads.
+    """
+    owed = 0
+    last: dict | None = None
+    for out in prefetch_samples(dataset, indices, num_workers, lookahead):
+        if isinstance(out, Exception):
+            if on_skip is not None:
+                on_skip(out)
+            if last is None:
+                owed += 1
+            else:
+                yield last
+            continue
+        last = out
+        for _ in range(owed):
+            yield out
+        owed = 0
+        yield out
+    if owed:
+        raise RuntimeError(
+            f"resilient_samples: all {owed} sample load(s) failed — no good "
+            "sample available to substitute"
+        )
+
+
 def batch_samples(samples: Sequence[dict]) -> dict:
     """Stack a list of sample dicts into a batch (arrays gain a leading axis;
     non-array fields become lists)."""

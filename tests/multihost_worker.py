@@ -31,10 +31,13 @@ if len(sys.argv) > 4 and sys.argv[4] == "--cli":
     dtu_root, listfile, logdir = sys.argv[5:8]
     from aa_rmvsnet_tpu.cli import main
 
+    # Full epoch (no --max_steps): every shard sample is visited, so the
+    # poisoned-PNG samples the test plants are guaranteed to be hit and
+    # substituted on BOTH hosts without desynchronizing the step counts.
     main([
         "train", "--trainpath", dtu_root, "--trainlist", listfile,
         "--logdir", logdir, "--epochs", "1", "--numdepth", "4",
-        "--view_num", "3", "--image_scale", "0.25", "--max_steps", "1",
+        "--view_num", "3", "--image_scale", "0.25",
         "--batch_size", "4", "--summary_freq", "1", "--num_workers", "2",
         "--coordinator", f"localhost:{port}",
         "--num_processes", str(nprocs), "--process_id", str(pid),

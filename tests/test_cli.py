@@ -266,6 +266,36 @@ class TestTrainCLI:
         ])
 
 
+    def test_train_survives_poisoned_dataset(self, tmp_path, capsys):
+        """A corrupt image must not kill (or shrink) the training run: the
+        affected samples are substituted and counted (resilient_samples) —
+        better than the reference's swallow-everything except
+        (train.py:226-247), which silently shrank the epoch."""
+        from test_pipeline import TestDTUTrainDataset
+
+        listfile = TestDTUTrainDataset()._make_dtu(str(tmp_path), H=16, W=16)
+        # Corrupt one view's light-3 image: 6 of the 42 metas now fail.
+        with open(
+            tmp_path / "Rectified/scan1_train/rect_001_3_r5000.png", "wb"
+        ) as f:
+            f.write(b"garbage, not a png")
+        from aa_rmvsnet_tpu.cli import main
+
+        logdir = str(tmp_path / "logs_poison")
+        # Full epoch (no --max_steps): the poisoned metas are guaranteed
+        # to be drawn.
+        main([
+            "train", "--trainpath", str(tmp_path), "--trainlist", listfile,
+            "--logdir", logdir, "--epochs", "1", "--numdepth", "4",
+            "--view_num", "3", "--image_scale", "0.25", "--batch_size", "4",
+            "--summary_freq", "5", "--num_workers", "2",
+        ])
+        out = capsys.readouterr().out
+        assert "SKIP (train load failure" in out
+        assert "substituted load failure(s)" in out
+        assert any(d.isdigit() for d in os.listdir(logdir)), os.listdir(logdir)
+
+
 class TestTrainCLIMultichip:
     def test_train_two_steps_on_virtual_mesh(self, tmp_path):
         """`cli train` builds the (data, spatial) mesh over the 8 virtual

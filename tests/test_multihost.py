@@ -67,6 +67,13 @@ def test_two_process_cli_train():
 
     with tempfile.TemporaryDirectory(prefix="mh_cli_") as root:
         listfile = TestDTUTrainDataset()._make_dtu(root, H=16, W=16)
+        # Poison one image: every light-3 meta (interleave-sharded onto
+        # BOTH hosts) now fails to load — the full-epoch run must
+        # substitute those samples and keep the hosts' step counts equal
+        # (cli train fault tolerance, data/loader.py resilient_samples).
+        with open(os.path.join(root, "Rectified/scan1_train/rect_001_3_r5000.png"),
+                  "wb") as f:
+            f.write(b"not a png")
         logdir = os.path.join(root, "logs")
         port = _free_port()
         env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_FLAGS")}
@@ -92,6 +99,9 @@ def test_two_process_cli_train():
         for pid, (p, out) in enumerate(zip(procs, outputs)):
             assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
             assert f"WORKER {pid} CLI OK" in out, out[-2000:]
+            # Both hosts hit (and substituted) poisoned samples without
+            # hanging the collectives.
+            assert "SKIP (train load failure" in out, out[-2000:]
         # Process 0 announces the global mesh (8 devices = 2 procs x 4).
         assert "mesh:" in outputs[0] and "8 devices" in outputs[0], outputs[0][-2000:]
         # One distributed checkpoint step directory exists.

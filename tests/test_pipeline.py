@@ -125,6 +125,38 @@ class TestDTUTrainDataset:
         batches = list(batched(iter(seq), 2))
         assert batches[0]["imgs"].shape[0] == 2
 
+    def test_resilient_samples_substitutes_failures(self):
+        """Failures anywhere (start / middle / end) are substituted by a
+        neighboring good sample and the yield COUNT is preserved — the
+        multi-host step-count safety property."""
+        from aa_rmvsnet_tpu.data.loader import resilient_samples
+
+        class FlakyDS:
+            def __init__(self, bad):
+                self.bad = set(bad)
+
+            def __len__(self):
+                return 6
+
+            def __getitem__(self, i):
+                if i in self.bad:
+                    raise IOError(f"corrupt sample {i}")
+                return {"x": np.full((2,), float(i))}
+
+        skips = []
+        # Failures at the start (0), middle (3), and end (5).
+        out = list(resilient_samples(
+            FlakyDS({0, 3, 5}), num_workers=2, on_skip=skips.append,
+        ))
+        assert len(out) == 6 and len(skips) == 3
+        vals = [o["x"][0] for o in out]
+        # 0 back-filled by the first good sample; 3 and 5 by the previous.
+        assert vals == [1.0, 1.0, 2.0, 2.0, 4.0, 4.0]
+
+        # All-fail epochs raise instead of silently yielding nothing.
+        with pytest.raises(RuntimeError):
+            list(resilient_samples(FlakyDS(range(6)), num_workers=2))
+
 
 class TestFusion:
     def test_consistent_plane_survives(self, tmp_path):

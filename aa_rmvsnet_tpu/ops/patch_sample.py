@@ -181,17 +181,23 @@ def build_patch_table4_quant(feat: jnp.ndarray, dtype=jnp.float8_e4m3fn):
 #: default per-tile budget for the packed blend's padded temporaries;
 #: overridable for experiments via AA_RMVSNET_TILE_MB (512 MB measured
 #: slightly slower than 128 MB at the north-star config, BENCHMARKS.md).
+#: The budget is PER SOURCE VIEW: the blend runs under ``jax.vmap`` over S
+#: views in the cost build, so total live padded temps are ~S x this value
+#: (the measured-best 128 MB default corresponds to ~512 MB live at the
+#: north-star S=4).  The batch axis B *is* folded into the estimate.
 _TILE_TARGET_BYTES = int(os.environ.get("AA_RMVSNET_TILE_MB", "128")) * 2**20
 
 
 def _packed_tile_pixels(G: int, K: int, out_itemsize: int,
-                        target_bytes: int | None = None) -> int:
+                        target_bytes: int | None = None,
+                        batch: int = 1) -> int:
     """Largest divisor of G whose per-tile blend intermediates stay under
     ``target_bytes`` (estimated at the TPU-padded size: the (B, Gt, K, 4, C)
-    einsum temp carries a 128-lane-padded minor axis)."""
+    einsum temp carries a 128-lane-padded minor axis).  ``target_bytes`` is
+    a per-source-view budget (see ``_TILE_TARGET_BYTES``)."""
     if target_bytes is None:
         target_bytes = _TILE_TARGET_BYTES
-    per_px = K * 4 * 128 * out_itemsize
+    per_px = batch * K * 4 * 128 * out_itemsize
     max_gt = max(1, target_bytes // per_px)
     if G <= max_gt:
         return G
@@ -256,7 +262,7 @@ def patch_bilinear_sample_packed(
     y = y.astype(jnp.float32)
 
     gt = _packed_tile_pixels(G, K, jnp.dtype(out_dtype).itemsize,
-                             tile_target_bytes)
+                             tile_target_bytes, batch=B)
     num_tiles = G // gt
     taps = jnp.arange(4.0)
     tent = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))

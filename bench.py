@@ -100,6 +100,56 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 LAST_GOOD = os.path.join(_HERE, "bench_last_good.json")
 
 
+# Output-resolution area factors (fraction of full-res pixels each module
+# processes) for the analytic cost model.  Keyed by parameter-path prefix;
+# longest match wins, default 1.0.  These encode the ARCHITECTURE (the
+# FeatNet pyramid strides and the U-Net pool/deconv levels,
+# models/{feature,regularizer}.py) — the per-module MAC counts themselves
+# are derived from the parameter tree's actual kernel shapes, so width
+# changes track automatically.
+_AREA_FACTORS = {
+    "feature/conv1": 0.25,
+    "feature/conv2": 0.0625,
+    "feature/intraAA/conv1": 0.25,
+    "feature/intraAA/conv2": 0.0625,
+    "feature/intraAA/deformconv1": 0.25,
+    "feature/intraAA/deformconv2": 0.0625,
+    "cost_regularization/cell1": 0.25,
+    "cost_regularization/cell2": 0.0625,
+    # transposed conv stride 2: MACs = input pixels x kernel volume.
+    "cost_regularization/deconv0": 0.0625,
+    "cost_regularization/deconv1": 0.25,
+    "cost_regularization/cell3": 0.25,
+}
+
+
+def _macs_per_px(params) -> dict:
+    """Per-full-res-pixel MAC counts of the three sub-networks, derived by
+    walking the parameter tree's conv kernels (any ndim-4 leaf named
+    ``kernel``) weighted by the architecture's area factors.  Replaces the
+    former hardcoded constants (48.3k/1.3k/30k MAC/px), which silently
+    drifted if module widths changed (ADVICE r3)."""
+    import jax.tree_util as jtu
+
+    totals = {"feature": 0.0, "omega": 0.0, "cost_regularization": 0.0}
+    for path, leaf in jtu.tree_leaves_with_path(params):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if not name.endswith("kernel") or getattr(leaf, "ndim", 0) != 4:
+            continue
+        rel = name.split("params/", 1)[-1]
+        factor = 1.0
+        best = -1
+        for prefix, f in _AREA_FACTORS.items():
+            if rel.startswith(prefix) and len(prefix) > best:
+                best, factor = len(prefix), f
+        kh, kw, cin, cout = leaf.shape
+        for group in totals:
+            if rel.startswith(group + "/"):
+                totals[group] += kh * kw * cin * cout * factor
+                break
+    return totals
+
+
 def _config_from_env():
     size = os.environ.get("BENCH_SIZE", "864x1152")
     H, W = (int(t) for t in size.split("x"))
@@ -322,18 +372,24 @@ def main():
         gather_roofline_fraction=round(t_gather / dt, 3),
     )
     if flops is None:
-        # Analytic model (MAC=2 FLOP, C=32 channels, all sweep work at
-        # H x W): ConvLSTM U-Net ~48.3k MAC/px/step (5 cells, counted from
-        # models/regularizer.py widths), omega ~1.3k MAC/px per (src,depth),
-        # residual/variance/blend ~200 FLOP/px per (src,depth), FeatNet
-        # ~30k MAC/px per view once.  Bytes: warp-table gather rows +
-        # ~64 B/px/step LSTM state traffic.  Tagged "analytic" so the JSON
-        # distinguishes it from XLA cost analysis (BENCH_COST_ANALYSIS=1).
+        # Analytic model (MAC=2 FLOP): per-module MAC counts derived from
+        # the parameter tree's kernel shapes x architecture area factors
+        # (_macs_per_px; at the shipped widths: ConvLSTM U-Net ~48.0k
+        # MAC/px/step, omega ~1.2k per (src,depth), FeatNet ~31.7k per
+        # view), plus ~200 FLOP/px per (src,depth) of residual/variance/
+        # blend elementwise.  Bytes: warp-table gather rows + ~64 B/px/step
+        # LSTM state traffic.  Tagged "analytic" so the JSON distinguishes
+        # it from XLA cost analysis (BENCH_COST_ANALYSIS=1); XLA's own
+        # analysis counts scan bodies ONCE (trip counts ignored), so it
+        # cannot replace this for a D-step sweep.
         S = V - 1
         px = H * W
+        macs = _macs_per_px(params)
         flops = (
-            2 * (48_300 * px * D) + 2 * (1_300 * px * S * D)
-            + 200 * px * S * D + 2 * (30_000 * px * V)
+            2 * (macs["cost_regularization"] * px * D)
+            + 2 * (macs["omega"] * px * S * D)
+            + 200 * px * S * D
+            + 2 * (macs["feature"] * px * V)
         )
         byts = float(gather_rows * row_bytes + 64 * px * D)
         record["cost_model"] = "analytic"

@@ -72,6 +72,28 @@ def test_bench_json_contract():
     assert rec["gather_roofline_fraction"] > 0
 
 
+def test_analytic_macs_derived_from_param_tree():
+    """The analytic cost model derives per-module MAC/px from the actual
+    kernel shapes (ADVICE r3: the former hardcoded constants silently
+    drifted from the architecture — and indeed undercounted the U-Net by
+    ~9%).  Pin the shipped-architecture values so a width change that
+    alters them is a visible diff, and cross-check one module by hand."""
+    import jax
+
+    sys.path.insert(0, REPO)
+    import bench
+    from aa_rmvsnet_tpu.models.network import init_params
+
+    params = init_params(jax.random.PRNGKey(0), 16, 16)
+    macs = bench._macs_per_px(params)
+    # Hand count for omega (all full-res): rw0 3x3x32x4 + rw1 two 1x1x4x4
+    # + rw2 1x1x4x1 = 1152 + 32 + 4.
+    assert macs["omega"] == pytest.approx(1188.0)
+    # Shipped-architecture pins (see bench._AREA_FACTORS for the factors).
+    assert macs["cost_regularization"] == pytest.approx(52632.0)
+    assert macs["feature"] == pytest.approx(31750.0)
+
+
 @pytest.mark.slow
 def test_bench_supervisor_survives_worker_crash():
     """The supervisor must emit a valid JSON line (rc 0) even when the

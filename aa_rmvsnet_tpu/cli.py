@@ -53,6 +53,9 @@ def _add_eval(sub):
     p.add_argument("--interval_scale", type=float,
                    help="depth interval scale (reference eval.py default 1.0)")
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--inverse_depth", action="store_true",
+                   help="open-ended inverse-depth sweep from each cam's "
+                        "depth_min (reference eval.py:20)")
     p.add_argument("--evidential_ckpt",
                    help="evidential head weights (torch .ckpt or orbax dir); "
                         "writes epistemic_0/aleatoric_0 maps (reference eval.py:129-169)")
@@ -247,6 +250,7 @@ def cmd_eval(args):
             ("max_h", args.max_h), ("max_w", args.max_w),
             ("depth_block", args.depth_block),
             ("interval_scale", args.interval_scale),
+            ("inverse_depth", True if args.inverse_depth else None),
         )
         if v is not None
     }

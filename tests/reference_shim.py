@@ -72,7 +72,7 @@ if mode == "eval":
 
     F.grid_sample = grid_sample
 
-elif mode == "fusion":
+elif mode in ("fusion", "fusion_padding"):
     # Minimal plyfile stand-in (package absent in this image): preserves the
     # structured array verbatim as a binary little-endian PLY.
     _PLY_TYPES = {"f4": "float", "u1": "uchar"}

@@ -97,6 +97,124 @@ def make_plane_scene(
     return scene, gt_depth, K, extrinsics
 
 
+def make_multiplane_scene(
+    root,
+    planes,
+    scan: str = "scan1",
+    num_views: int = 5,
+    H: int = 64,
+    W: int = 96,
+    focal: float = 2000.0,
+    baseline: float = 2.0,
+    dmin: float = 425.0,
+    dint: float = 5.0,
+    with_depth_end: bool = False,
+    dnum: int = 192,
+    dend: float = 935.0,
+    seed: int = 0,
+):
+    """Ray-cast renderer for a family of textured world-space planes — the
+    hard-mode quality fixtures (occlusion, slant, high-frequency texture)
+    that a fronto-parallel plane cannot probe.
+
+    Each plane is a dict with:
+      ``z0``: depth at world (X, Y) = (0, 0);
+      ``gx``, ``gy``: depth gradients dZ/dX, dZ/dY (0 = fronto-parallel);
+      ``extent``: ``(x0, x1, y0, y1)`` world-space rectangle the plane
+        occupies (texture is mapped over it);
+      ``sigma``: texture Gaussian-blur sigma in ref-view pixels (0 = raw
+        high-frequency noise).
+
+    World frame = camera 0; cameras translate along +x by ``baseline``
+    (same convention as :func:`make_plane_scene`).  Per view, every pixel
+    ray is intersected with every plane in closed form; the NEAREST valid
+    hit wins — real occlusion, exact GT.
+
+    Returns ``(scene_dir, gt_depths, K, extrinsics)`` where ``gt_depths``
+    is a list of per-view (H, W) depth maps (0 where no plane is hit).
+    """
+    rng = np.random.RandomState(seed)
+    scene = os.path.join(root, scan)
+    os.makedirs(os.path.join(scene, "images"), exist_ok=True)
+    os.makedirs(os.path.join(scene, "cams"), exist_ok=True)
+
+    cx, cy, f = W / 2.0, H / 2.0, focal
+    xs = np.arange(W, dtype=np.float64)[None, :].repeat(H, 0)
+    ys = np.arange(H, dtype=np.float64)[:, None].repeat(W, 1)
+
+    # Per-plane textures, sized so one texel ~ half a ref-view pixel.
+    textures = []
+    for plane in planes:
+        x0, x1, y0, y1 = plane["extent"]
+        tw = max(32, int(round(2 * (x1 - x0) * f / plane["z0"])))
+        th = max(32, int(round(2 * (y1 - y0) * f / plane["z0"])))
+        tex = rng.rand(th, tw, 3).astype(np.float32) * 255
+        sigma = plane.get("sigma", 2.0)
+        if sigma > 0:
+            # sigma is in ref-view pixels; texels are ~2x finer.
+            tex = cv2.GaussianBlur(tex, (0, 0), 2.0 * sigma)
+            lo, hi = tex.min(), tex.max()
+            tex = (tex - lo) / max(hi - lo, 1e-6) * 255.0
+        textures.append(tex)
+
+    K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]], np.float32)
+    extrinsics, gt_depths = [], []
+    for v in range(num_views):
+        E = np.eye(4, dtype=np.float32)
+        E[0, 3] = -v * baseline  # world -> cam: X_cam = X_w - v*b
+        extrinsics.append(E)
+
+        depth = np.full((H, W), np.inf)
+        img = np.zeros((H, W, 3), np.float32)
+        for plane, tex in zip(planes, textures):
+            z0, gx, gy = plane["z0"], plane.get("gx", 0.0), plane.get("gy", 0.0)
+            x0, x1, y0, y1 = plane["extent"]
+            # Ray through pixel: X_cam = d*(x-cx)/f, Z = d; plane
+            # Z = z0 + gx*X_w + gy*Y_w with X_w = X_cam + v*b.
+            denom = 1.0 - gx * (xs - cx) / f - gy * (ys - cy) / f
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d = (z0 + gx * v * baseline) / denom
+            Xw = d * (xs - cx) / f + v * baseline
+            Yw = d * (ys - cy) / f
+            th, tw = tex.shape[:2]
+            u = (Xw - x0) / (x1 - x0) * (tw - 1)
+            w_ = (Yw - y0) / (y1 - y0) * (th - 1)
+            color = cv2.remap(
+                tex, u.astype(np.float32), w_.astype(np.float32),
+                interpolation=cv2.INTER_LINEAR,
+            )
+            hit = (
+                np.isfinite(d) & (d > 0)
+                & (Xw >= x0) & (Xw <= x1) & (Yw >= y0) & (Yw <= y1)
+                & (d < depth)
+            )
+            depth = np.where(hit, d, depth)
+            img = np.where(hit[..., None], color, img)
+
+        gt_depths.append(np.where(np.isfinite(depth), depth, 0.0).astype(np.float32))
+        cv2.imwrite(
+            os.path.join(scene, f"images/{v:08d}.jpg"),
+            cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2BGR),
+            [cv2.IMWRITE_JPEG_QUALITY, 98],
+        )
+        write_cam(
+            os.path.join(scene, f"cams/{v:08d}_cam.txt"),
+            K, E, dmin, dint,
+            dnum=dnum if with_depth_end else None,
+            dend=dend if with_depth_end else None,
+        )
+
+    with open(os.path.join(scene, "pair.txt"), "w") as f:
+        f.write(f"{num_views}\n")
+        for v in range(num_views):
+            srcs = [s for s in range(num_views) if s != v]
+            f.write(f"{v}\n")
+            f.write(f"{len(srcs)} " + " ".join(
+                f"{s} {10.0 - i}" for i, s in enumerate(srcs)) + "\n")
+
+    return scene, gt_depths, K, extrinsics
+
+
 def write_prediction(out_dir, view: int, depth: np.ndarray, confidence: np.ndarray):
     os.makedirs(os.path.join(out_dir, "depth_est_0"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "confidence_0"), exist_ok=True)

@@ -44,7 +44,12 @@ def _add_eval(sub):
     p.add_argument("--testlist", required=True, help="file with one scan per line")
     p.add_argument("--outdir", default="outputs")
     p.add_argument("--preset", default="dtu_eval")
-    p.add_argument("--loadckpt", required=True, help="torch .ckpt or orbax dir")
+    p.add_argument("--loadckpt", help="torch .ckpt or orbax dir (required "
+                                      "unless --dry_check)")
+    p.add_argument("--dry_check", action="store_true",
+                   help="validate the dataset root's structure (pair.txt / "
+                        "cams / images, cam-file shapes) and exit without "
+                        "running the model")
     p.add_argument("--view_num", type=int)
     p.add_argument("--numdepth", type=int)
     p.add_argument("--max_h", type=int)
@@ -255,6 +260,19 @@ def cmd_eval(args):
         if v is not None
     }
     cfg = eval_preset(args.preset, **overrides)
+    if args.dry_check:
+        from .data.validate import check_dataset_root
+
+        with open(args.testlist) as f:
+            scans = [line.strip() for line in f if line.strip()]
+        report = check_dataset_root(args.testpath, scans,
+                                    padded=cfg.pad_vertical)
+        print(report.summary())
+        if not report.ok:
+            raise SystemExit(1)
+        return
+    if not args.loadckpt:
+        raise SystemExit("--loadckpt is required (or use --dry_check)")
     ds = EvalDataset(
         args.testpath, args.testlist, nviews=cfg.nviews, ndepths=cfg.ndepths,
         interval_scale=cfg.interval_scale, inverse_depth=cfg.inverse_depth,

@@ -171,6 +171,60 @@ class TestCLI:
                   "--depth_stages", "2", "--spatial", "2"])
 
 
+class TestDryCheck:
+    def test_dry_check_passes_on_good_tree(self, tmp_path, capsys):
+        from scenefix import make_plane_scene
+        from aa_rmvsnet_tpu.cli import main
+
+        make_plane_scene(tmp_path, H=32, W=32, num_views=3)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+        main(["eval", "--dry_check", "--testpath", str(tmp_path),
+              "--testlist", str(listfile), "--preset", "dtu_eval_smoke"])
+        out = capsys.readouterr().out
+        assert "dataset check OK" in out
+
+    def test_dry_check_catches_broken_tree(self, tmp_path, capsys):
+        """Missing cam file, unreadable image, and (padded preset) a
+        missing depth_end must each produce a named error + exit 1."""
+        from scenefix import make_plane_scene
+        from aa_rmvsnet_tpu.cli import main
+
+        make_plane_scene(tmp_path, H=32, W=32, num_views=3)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+        os.remove(tmp_path / "scan1/cams/00000002_cam.txt")
+        (tmp_path / "scan1/images/00000001.jpg").write_bytes(b"not a jpeg")
+
+        with pytest.raises(SystemExit):
+            main(["eval", "--dry_check", "--testpath", str(tmp_path),
+                  "--testlist", str(listfile), "--preset", "dtu_eval_smoke"])
+        out = capsys.readouterr().out
+        assert "cam file missing for view 2" in out
+        assert "image unreadable for view 1" in out
+
+        # The padded (TnT) preset additionally requires depth_end — the
+        # plane scene's cams lack the 4-token depth line.
+        (tmp_path / "scan1/images/00000001.jpg").unlink()
+        with pytest.raises(SystemExit):
+            main(["eval", "--dry_check", "--testpath", str(tmp_path),
+                  "--testlist", str(listfile), "--preset", "tnt_intermediate"])
+        out = capsys.readouterr().out
+        assert "lacks depth_end" in out
+        assert "image missing for view 1" in out
+
+    def test_eval_without_ckpt_fails_loudly(self, tmp_path):
+        from scenefix import make_plane_scene
+        from aa_rmvsnet_tpu.cli import main
+
+        make_plane_scene(tmp_path, H=32, W=32, num_views=3)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+        with pytest.raises(SystemExit, match="loadckpt"):
+            main(["eval", "--testpath", str(tmp_path),
+                  "--testlist", str(listfile), "--preset", "dtu_eval_smoke"])
+
+
 class TestVizCLI:
     def test_viz_writes_summary_and_dot(self, tmp_path):
         """`cli viz` — the model-graph visualizer analog (reference

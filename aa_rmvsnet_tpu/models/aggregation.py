@@ -69,7 +69,8 @@ def _block_diag_kernel(kernel: jnp.ndarray, groups: int) -> jnp.ndarray:
     return bd.reshape(kh, kw, groups * cin, groups * cout)
 
 
-def omega_folded(params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+def omega_folded(params, x: jnp.ndarray, groups: int,
+                 input_scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """Apply the omega network with ``groups`` volumes folded into channels.
 
     Implementation note (round-3): the G-grouped convs run as DENSE convs
@@ -98,9 +99,21 @@ def omega_folded(params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
 
     Returns:
       ``(N, H, W, groups)`` sigmoid weight maps (one channel per volume).
+
+    ``input_scale``: optional per-channel ``(C,)`` dequantization factors
+    for a quantized ``x`` (the fp8 residual-storage lever,
+    ``SweepConfig.residual_dtype``): folded into rw0's kernel input rows, so
+    ``omega_folded(p, q, G, s) == omega_folded(p, q * tile(s), G)`` exactly
+    without ever materializing the dequantized residual stream.
     """
     dtype = x.dtype
     tile_vec = lambda v: jnp.tile(v.astype(dtype), (groups,))
+
+    rw0_kernel = params["rw0"]["conv"]["kernel"]
+    if input_scale is not None:
+        rw0_kernel = rw0_kernel * input_scale.astype(rw0_kernel.dtype)[
+            None, None, :, None
+        ]
 
     def conv(x, kernel, bias, pad):
         y = jax.lax.conv_general_dilated(
@@ -112,7 +125,7 @@ def omega_folded(params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
 
     rw0, rw1, rw2 = params["rw0"], params["rw1"], params["rw2"]
 
-    y = conv(x, rw0["conv"]["kernel"], rw0["conv"]["bias"], pad=1)
+    y = conv(x, rw0_kernel, rw0["conv"]["bias"], pad=1)
     y = _group_norm_folded(y, tile_vec(rw0["gn"]["scale"]),
                            tile_vec(rw0["gn"]["bias"]), groups, 4)
     y = nn.relu(y)

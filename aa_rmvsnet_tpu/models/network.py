@@ -139,6 +139,15 @@ class SweepConfig:
     packed_rows: bool = False
     pallas_gates: bool = False
     mesh: Any = None
+    # fp8 residual-storage lever (packed path only): store the squared
+    # residual — the cost block's dominant non-gather HBM stream, written
+    # once and read twice — in this dtype (e.g. jnp.float8_e4m3fn) with a
+    # shared per-channel scale derived from the feature amax bound
+    # ((2*amax)^2/448).  The dequantization never materializes: omega folds
+    # the scale into its first conv kernel, the variance sum fuses it into
+    # its elementwise chain.  Approximate (fp8 has ~2 significant digits);
+    # gate with the quality tests before production use.
+    residual_dtype: Any = None
 
 
 def pick_depth_block(num_depth: int, target: int) -> int:
@@ -311,6 +320,8 @@ def _build_cost_block_packed(
     transes: jnp.ndarray,
     depth_block: jnp.ndarray,
     table_scales: jnp.ndarray | None = None,
+    residual_scale: jnp.ndarray | None = None,
+    residual_dtype: Any = None,
 ) -> jnp.ndarray:
     """Packed-row variant: ONE 4x4-patch gather row per (view, pixel)
     serves the whole depth block.
@@ -323,6 +334,14 @@ def _build_cost_block_packed(
     EXACT only when every pixel's Db warp positions span <= 2 px per axis;
     callers gate on ``ops.homography.max_depth_step_displacement`` (see
     ``pick_packed_rows``).
+
+    ``residual_scale``/``residual_dtype``: the fp8 residual-storage lever
+    (``SweepConfig.residual_dtype``).  The squared residual — read TWICE
+    (omega conv input + variance sum), the block's dominant non-gather HBM
+    stream — is stored quantized with the shared per-channel scale; the
+    dequantization never materializes: omega folds the scale into its first
+    conv kernel (:func:`..models.aggregation.omega_folded` ``input_scale``)
+    and the variance sum fuses it into its elementwise chain.
     """
     S, B, HW, C16 = src_tables.shape
     _, H, W, C = ref_feat.shape
@@ -348,11 +367,25 @@ def _build_cost_block_packed(
     ref_tiled = jnp.tile(ref_feat, (1, 1, 1, Db))  # (B, H, W, Db*C)
     residual_sq = (warped - ref_tiled[None]) ** 2  # (S, B, H, W, Db*C)
 
+    if residual_dtype is not None:
+        # Quantize the residual ONCE (sub/square/scale/cast fuse into one
+        # pass over `warped`); both consumers read the fp8 tensor.
+        inv = (1.0 / residual_scale).astype(ref_feat.dtype)
+        residual_sq = (residual_sq * jnp.tile(inv, (Db,))).astype(residual_dtype)
+
     flat = residual_sq.transpose(1, 0, 2, 3, 4).reshape(B * S, H, W, Db * C)
-    weights = omega_folded(params["params"]["omega"], flat, Db)  # (B*S,H,W,Db)
+    if residual_dtype is not None:
+        weights = omega_folded(
+            params["params"]["omega"], flat.astype(ref_feat.dtype), Db,
+            input_scale=residual_scale,
+        )
+    else:
+        weights = omega_folded(params["params"]["omega"], flat, Db)
     weights = weights.reshape(B, S, H, W, Db).transpose(1, 0, 2, 3, 4)
 
     r6 = residual_sq.reshape(S, B, H, W, Db, C)
+    if residual_dtype is not None:
+        r6 = r6.astype(ref_feat.dtype) * residual_scale.astype(ref_feat.dtype)
     variance = jnp.sum((weights[..., None] + 1.0) * r6, axis=0) / S
     return -variance.transpose(3, 0, 1, 2, 4)  # (Db, B, H, W, C)
 
@@ -481,6 +514,21 @@ def sweep(
 
     if config.packed_rows:
         build = _build_cost_block_packed
+        if config.residual_dtype is not None:
+            # Shared (max over views + ref) per-channel fp8 scale so one
+            # scale serves every view's residual (kernel-foldable in omega).
+            a = jnp.maximum(
+                jnp.max(jnp.abs(src_feats.astype(jnp.float32)), axis=(0, 1, 2, 3)),
+                jnp.max(jnp.abs(ref_feat.astype(jnp.float32)), axis=(0, 1, 2)),
+            )
+            residual_scale = jnp.maximum((2.0 * a) ** 2 / 448.0, 1e-12)
+            build = functools.partial(
+                _build_cost_block_packed,
+                residual_scale=residual_scale,
+                residual_dtype=config.residual_dtype,
+            )
+    elif config.residual_dtype is not None:
+        raise ValueError("residual_dtype requires packed_rows")
     elif config.fold_omega == "hybrid":
         build = functools.partial(_build_cost_block, hybrid_omega=True)
     elif config.fold_omega:
@@ -488,6 +536,11 @@ def sweep(
     else:
         build = _build_cost_block
 
+    if view_parallel and config.residual_dtype is not None:
+        raise ValueError(
+            "residual_dtype is not supported on a view-sharded mesh (the "
+            "shared residual scale would be closed over by shard_map)"
+        )
     if view_parallel:
         # Manual over the view axis only (data/spatial stay GSPMD-auto):
         # each view group builds the variance over ITS source views; one

@@ -260,6 +260,11 @@ def main():
         if os.environ.get("BENCH_TABLE_DTYPE", "fp8") == "fp8"
         else None
     )
+    residual_dtype = (
+        jnp.float8_e4m3fn
+        if os.environ.get("BENCH_RESIDUAL_DTYPE", "none") == "fp8"
+        else None
+    )
     fo_env = os.environ.get("BENCH_FOLD_OMEGA", "0")
     fold_omega = "hybrid" if fo_env == "hybrid" else fo_env == "1"
     pallas_gates = os.environ.get("BENCH_PALLAS", "0") == "1"
@@ -307,6 +312,7 @@ def main():
         depth_block=block, collect_volume=False, feature_dtype=dtype,
         table_dtype=table_dtype, fold_omega=fold_omega,
         pallas_gates=pallas_gates, packed_rows=packed_rows,
+        residual_dtype=residual_dtype if packed_rows else None,
     )
 
     @jax.jit
@@ -354,6 +360,7 @@ def main():
             "fp8_tables": table_dtype is not None,
             "fold_omega": fold_omega, "pallas_gates": pallas_gates,
             "packed_rows": packed_rows, "depth_block": block,
+            "fp8_residual": config.residual_dtype is not None,
         },
     }
     # One warp-gather row per (src-view, depth, pixel) — or per

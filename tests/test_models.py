@@ -424,6 +424,75 @@ class TestSweepLevers:
             np.asarray(packed["depth"]), np.asarray(base["depth"]), atol=1e-3
         )
 
+    def test_omega_folded_input_scale_is_exact(self):
+        """The kernel-folded dequantization of the fp8 residual lever:
+        omega_folded(p, q, G, input_scale=s) == omega_folded(p, q*tile(s), G)
+        exactly (the scale rides the conv's linearity)."""
+        import jax
+
+        from aa_rmvsnet_tpu.models.aggregation import InterViewAA, omega_folded
+
+        rng = np.random.RandomState(0)
+        G, C = 4, 32
+        x = jnp.asarray(rng.rand(2, 8, 8, G * C).astype(np.float32))
+        scale = jnp.asarray((0.5 + rng.rand(C)).astype(np.float32))
+        variables = InterViewAA().init(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 8, 8, C)))
+        p = variables["params"]
+        a = omega_folded(p, x * jnp.tile(scale, (G,)), G)
+        b = omega_folded(p, x, G, input_scale=scale)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+    def test_fp8_residual_close_to_exact(self, params):
+        """The fp8 residual-storage lever (SweepConfig.residual_dtype) is
+        APPROXIMATE (~2 significant digits on the squared residual): on a
+        random-noise scene near-tied costs flip freely, so the gate runs on
+        a photoconsistent scene with the bf16-guardrail criterion — >=90% of
+        all pixels and >=99% of confident pixels (conf > 0.3, what fusion
+        keeps) within one depth bin of the exact packed sweep."""
+        import tempfile
+
+        from scenefix import make_plane_scene
+        from aa_rmvsnet_tpu.data.eval_dataset import EvalDataset
+        from aa_rmvsnet_tpu.models.network import pick_packed_rows
+
+        tmp = tempfile.mkdtemp(prefix="fp8res_")
+        make_plane_scene(tmp, H=128, W=160, num_views=3, focal=600.0)
+        listfile = os.path.join(tmp, "list.txt")
+        with open(listfile, "w") as f:
+            f.write("scan1\n")
+        ds = EvalDataset(tmp, listfile, nviews=3, ndepths=32,
+                         max_h=128, max_w=160)
+        s = ds[0]
+        imgs = jnp.asarray(s["imgs"][None])
+        proj = jnp.asarray(s["proj_matrices"][None])
+        depths = jnp.asarray(s["depth_values"][None])
+        bin_w = float(depths[0, 1] - depths[0, 0])
+        assert pick_packed_rows(s["proj_matrices"], s["depth_values"],
+                                128, 160, 4)
+
+        cfg = dict(depth_block=4, packed_rows=True, collect_volume=False,
+                   table_dtype=jnp.float8_e4m3fn)
+        base = forward(params, imgs, proj, depths, SweepConfig(**cfg))
+        q = forward(params, imgs, proj, depths,
+                    SweepConfig(**cfg, residual_dtype=jnp.float8_e4m3fn))
+        d0, c0 = (np.asarray(base[k]) for k in
+                  ("depth", "photometric_confidence"))
+        dq = np.asarray(q["depth"])
+        within = np.abs(dq - d0) <= bin_w + 1e-6
+        assert within.mean() >= 0.90, within.mean()
+        confident = c0 > 0.3
+        assert confident.mean() > 0.5  # the gate must be non-vacuous
+        assert within[confident].mean() >= 0.99, within[confident].mean()
+
+    def test_residual_dtype_requires_packed(self, params):
+        imgs, proj, depths = _random_scene(seed=9)
+        with pytest.raises(ValueError, match="packed_rows"):
+            forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                    jnp.asarray(depths),
+                    SweepConfig(depth_block=4,
+                                residual_dtype=jnp.float8_e4m3fn))
+
     def test_pick_packed_rows_rejects_coarse_sweep(self):
         """A sweep whose per-step displacement is large must be rejected."""
         from aa_rmvsnet_tpu.models.network import pick_packed_rows

@@ -88,10 +88,81 @@ EVAL_PRESETS: dict[str, dict] = {
 }
 
 
+#: usable HBM budget per v5e chip for the auto depth_block derivation —
+#: 16 GB physical minus runtime/program reserves and headroom for XLA's
+#: scheduling slack (the estimate below is of the LIVE cost-block tensors,
+#: not every transient).
+HBM_BUDGET_BYTES = 12e9
+
+
+def sweep_hbm_bytes(
+    height: int,
+    width: int,
+    nviews: int,
+    depth_block: int,
+    ndepths: int = 512,
+    packed: bool = True,
+    fp8_tables: bool = True,
+    bf16: bool = True,
+    fp8_residual: bool = False,
+) -> float:
+    """Rough peak-HBM estimate of the inference sweep's live tensors.
+
+    Counts the dominant allocations of the packed cost block at their
+    TPU-padded sizes: warp patch tables (16 taps/px/view), the blended
+    ``warped`` volume and squared residual (``S x px x Db*C``), omega's
+    folded intermediates (128-lane padded), the variance/cost slices, and
+    the ConvLSTM states/features.  Used by :func:`derive_depth_block` to
+    pick the largest block that fits; calibrate against BENCHMARKS.md
+    round-4 TnT measurements rather than trusting it absolutely.
+    """
+    px = height * width
+    S = nviews - 1
+    C = 32
+    feat_b = 2 if bf16 else 4
+    taps = 16 if packed else 4
+    tables = S * px * taps * C * (1 if fp8_tables else feat_b)
+    warped = S * px * depth_block * C * feat_b
+    residual = warped // (2 if fp8_residual else 1) if fp8_residual else warped
+    # omega folded intermediates: two (S, px, max(Db*4, 128)-lane) streams.
+    omega = 2 * S * px * max(depth_block * 4, 128) * feat_b
+    variance = px * depth_block * C * feat_b          # cost slices
+    features = nviews * px * C * feat_b               # FeatNet output
+    states = 2 * px * (16 + 8) * 8 * feat_b           # lane-padded h/c pairs
+    return float(tables + warped + residual + omega + variance + features
+                 + states)
+
+
+def derive_depth_block(
+    height: int,
+    width: int,
+    nviews: int,
+    ndepths: int = 512,
+    budget: float = HBM_BUDGET_BYTES,
+    candidates: tuple = (16, 8, 4, 2, 1),
+    **kwargs,
+) -> int:
+    """Largest depth_block whose :func:`sweep_hbm_bytes` estimate fits the
+    per-chip budget (VERDICT r3 item 4: preset defaults from an HBM
+    estimate, not a docstring guess)."""
+    for db in candidates:
+        if ndepths % db:
+            continue
+        if sweep_hbm_bytes(height, width, nviews, db, ndepths, **kwargs) <= budget:
+            return db
+    return 1
+
+
 def eval_preset(name: str, **overrides) -> EvalRunConfig:
     if name not in EVAL_PRESETS:
         raise KeyError(f"unknown eval preset {name!r}; have {sorted(EVAL_PRESETS)}")
-    return EvalRunConfig(**{**EVAL_PRESETS[name], **overrides})
+    merged = {**EVAL_PRESETS[name], **overrides}
+    if merged.get("depth_block") == "auto":
+        merged["depth_block"] = derive_depth_block(
+            merged.get("max_h", 864), merged.get("max_w", 1152),
+            merged.get("nviews", 5), merged.get("ndepths", 512),
+        )
+    return EvalRunConfig(**merged)
 
 
 def train_preset(name: str = "dtu_train", **overrides) -> TrainRunConfig:

@@ -290,7 +290,13 @@ def main():
         P[:3, :4] = K @ P[:3, :4]
         projs.append(P)
     proj = np.stack(projs)[None]
-    depths = np.linspace(425.0, 933.8, D, dtype=np.float32)[None]
+    if os.environ.get("BENCH_SAMPLER", "linear") == "inverse_bounded":
+        # The TnT padded-pipeline sweep (eval_dataset.py: inverse_depth_bounded)
+        from aa_rmvsnet_tpu.core.samplers import inverse_depth_bounded
+
+        depths = inverse_depth_bounded(425.0, 935.0, D)[None]
+    else:
+        depths = np.linspace(425.0, 933.8, D, dtype=np.float32)[None]
 
     gate = pick_packed_rows(proj[0], depths[0], H, W, block)
     if packed_env == "1" and not gate:

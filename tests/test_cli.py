@@ -43,6 +43,34 @@ class TestConfig:
         assert EVAL_PRESETS["tnt_intermediate_960"]["max_w"] == 960
 
 
+class TestHBMDerivation:
+    def test_estimate_monotonic_and_block_derivation(self):
+        """sweep_hbm_bytes grows with size/views/block; derive_depth_block
+        picks the largest candidate that fits and respects divisibility."""
+        from aa_rmvsnet_tpu.utils.config import (
+            derive_depth_block, sweep_hbm_bytes,
+        )
+
+        base = sweep_hbm_bytes(864, 1152, 5, 8)
+        assert sweep_hbm_bytes(864, 1152, 5, 16) > base
+        assert sweep_hbm_bytes(1056, 1920, 5, 8) > base
+        assert sweep_hbm_bytes(864, 1152, 7, 8) > base
+        # The proven north-star config (packed db=8) must fit the budget —
+        # it runs on the chip (BENCHMARKS.md), so the estimate may not
+        # exclude it.
+        assert derive_depth_block(864, 1152, 5) >= 8
+        # A huge budget picks the largest divisor candidate.
+        assert derive_depth_block(864, 1152, 5, budget=1e18) == 16
+        # Divisibility: ndepths=24 cannot take block 16.
+        assert derive_depth_block(864, 1152, 5, ndepths=24, budget=1e18) == 8
+
+    def test_preset_auto_depth_block(self):
+        from aa_rmvsnet_tpu.utils.config import eval_preset
+
+        cfg = eval_preset("dtu_eval", depth_block="auto")
+        assert cfg.depth_block == 8
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         params = init_params(jax.random.PRNGKey(0), 16, 16)

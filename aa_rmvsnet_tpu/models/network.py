@@ -139,6 +139,16 @@ class SweepConfig:
     packed_rows: bool = False
     pallas_gates: bool = False
     mesh: Any = None
+    # Gather super-packing (packed path only): ONE packed gather row serves
+    # ``gather_pack * depth_block`` hypotheses, consumed by ``gather_pack``
+    # successive regularizer sub-blocks inside each scan step.  Cuts the
+    # binding gather-row count a further ``gather_pack``-fold WITHOUT
+    # growing the per-sub-block cost program (the depth_block=16 program
+    # SIGKILLs the remote compile helper on the tunnel; this reaches the
+    # same row count with the proven block-8 body).  Exactness contract:
+    # the SUPER block's warp span must pass the 2 px gate — gate with
+    # ``pick_packed_rows(..., depth_block=gather_pack * depth_block)``.
+    gather_pack: int = 1
     # fp8 residual-storage lever (packed path only): store the squared
     # residual — the cost block's dominant non-gather HBM stream, written
     # once and read twice — in this dtype (e.g. jnp.float8_e4m3fn) with a
@@ -343,26 +353,53 @@ def _build_cost_block_packed(
     conv kernel (:func:`..models.aggregation.omega_folded` ``input_scale``)
     and the variance sum fuses it into its elementwise chain.
     """
+    warped = _warp_packed(
+        src_tables, rot_grids, transes, depth_block, table_scales,
+        ref_feat.dtype, ref_feat.shape[1], ref_feat.shape[2],
+    )
+    return _cost_from_warped(
+        params, ref_feat, warped, residual_scale, residual_dtype
+    )
+
+
+def _warp_packed(
+    src_tables, rot_grids, transes, depth_block, table_scales,
+    compute_dtype, H: int, W: int,
+) -> jnp.ndarray:
+    """Packed warp of ``K = depth_block.shape[1]`` hypotheses per gather
+    row; returns the folded ``(S, B, H, W, K*C)`` warped volume."""
     S, B, HW, C16 = src_tables.shape
-    _, H, W, C = ref_feat.shape
-    Db = depth_block.shape[1]
+    K = depth_block.shape[1]
 
     def warp_one_view(table, rot_grid, trans, scale):
-        x, y = plane_sweep_xy(rot_grid, trans, depth_block)  # (B, Db, H*W)
-        xg = x.transpose(0, 2, 1)  # (B, H*W, Db): groups = pixels
+        x, y = plane_sweep_xy(rot_grid, trans, depth_block)  # (B, K, H*W)
+        xg = x.transpose(0, 2, 1)  # (B, H*W, K): groups = pixels
         yg = y.transpose(0, 2, 1)
         out = patch_bilinear_sample_packed(
-            table, xg, yg, H, W, scale=scale, compute_dtype=ref_feat.dtype,
+            table, xg, yg, H, W, scale=scale, compute_dtype=compute_dtype,
             folded_out=True,
-        )  # (B, H*W, Db*C) — folded layout straight out of the tile blend
-        return out.reshape(B, H, W, Db * C)
+        )  # (B, H*W, K*C) — folded layout straight out of the tile blend
+        return out.reshape(B, H, W, -1)
 
     if table_scales is None:
-        warped = jax.vmap(lambda t, r, tr: warp_one_view(t, r, tr, None))(
+        return jax.vmap(lambda t, r, tr: warp_one_view(t, r, tr, None))(
             src_tables, rot_grids, transes
         )
-    else:
-        warped = jax.vmap(warp_one_view)(src_tables, rot_grids, transes, table_scales)
+    return jax.vmap(warp_one_view)(src_tables, rot_grids, transes, table_scales)
+
+
+def _cost_from_warped(
+    params,
+    ref_feat: jnp.ndarray,
+    warped: jnp.ndarray,
+    residual_scale: jnp.ndarray | None = None,
+    residual_dtype: Any = None,
+) -> jnp.ndarray:
+    """Residual + omega reweight + view-mean variance on a folded
+    ``(S, B, H, W, Db*C)`` warped volume -> ``(Db, B, H, W, C)`` cost."""
+    S, B, H, W, DbC = warped.shape
+    C = ref_feat.shape[-1]
+    Db = DbC // C
 
     ref_tiled = jnp.tile(ref_feat, (1, 1, 1, Db))  # (B, H, W, Db*C)
     residual_sq = (warped - ref_tiled[None]) ** 2  # (S, B, H, W, Db*C)
@@ -498,9 +535,23 @@ def sweep(
         if table_scales is not None:
             table_scales = jax.lax.with_sharding_constraint(table_scales, view0)
 
-    # (num_blocks, B, block) sweep-ordered depth blocks.
+    # Gather super-packing: ONE packed gather serves pack*block hypotheses
+    # (SweepConfig.gather_pack); the scan runs over super blocks, each
+    # consumed by `pack` unrolled regularizer sub-blocks.
+    pack = config.gather_pack if config.packed_rows else 1
+    if config.gather_pack > 1 and not config.packed_rows:
+        raise ValueError("gather_pack > 1 requires packed_rows")
+    if pack > 1 and view_parallel:
+        raise ValueError("gather_pack > 1 is not supported on a view-sharded mesh")
+    if D % (block * pack):
+        raise ValueError(
+            f"num_depth {D} not divisible by depth_block*gather_pack "
+            f"{block}*{pack}"
+        )
+    num_super = D // (block * pack)
+    # (num_super, B, pack*block) sweep-ordered depth super blocks.
     depth_blocks = (
-        depth_values.T.reshape(num_blocks, block, B).transpose(0, 2, 1)
+        depth_values.T.reshape(num_super, block * pack, B).transpose(0, 2, 1)
     )
 
     def regularize_block(states, cost_block):
@@ -512,6 +563,7 @@ def sweep(
 
         return jax.lax.scan(body, states, cost_block)
 
+    residual_scale = None
     if config.packed_rows:
         build = _build_cost_block_packed
         if config.residual_dtype is not None:
@@ -577,14 +629,14 @@ def sweep(
             table_scales,
         )
 
-    def block_step(carry, depth_block_values):
+    def consume_block(carry, cost_block, depth_block_values):
+        """Regularize one sub-block and fold it into the online WTA +
+        logsumexp carry (strict > keeps the first maximum, matching the
+        reference's running argmax, drmvsnet.py:327-333)."""
         states, depth_img, max_cost, lse = carry
-        cost_block = build_block(depth_block_values)
-        states, costs = regularize_block(states, cost_block)  # costs (block,B,H,W)
+        states, costs = regularize_block(states, cost_block)  # (block,B,H,W)
         costs = costs.astype(jnp.float32)
 
-        # Online WTA + online logsumexp (strict > keeps the first maximum,
-        # matching the reference's running argmax, drmvsnet.py:327-333).
         block_best = jnp.argmax(costs, axis=0)  # (B, H, W), first max in block
         block_max = jnp.max(costs, axis=0)
         block_depth = jnp.take_along_axis(
@@ -595,9 +647,40 @@ def sweep(
         depth_img = jnp.where(take_new, block_depth, depth_img)
         max_cost = jnp.maximum(max_cost, block_max)
         lse = jnp.logaddexp(lse, jax.nn.logsumexp(costs, axis=0))
+        return (states, depth_img, max_cost, lse), costs
 
-        ys = costs if config.collect_volume else jnp.zeros((), jnp.float32)
-        return (states, depth_img, max_cost, lse), ys
+    def block_step(carry, depth_super):
+        if pack == 1:
+            cost_block = build_block(depth_super)
+            carry, costs = consume_block(carry, cost_block, depth_super)
+            ys = costs if config.collect_volume else jnp.zeros((), jnp.float32)
+            return carry, ys
+
+        # One packed gather for the whole super block; each sub-block
+        # slices its folded (..., block*C) columns (k-major layout).
+        warped_super = _warp_packed(
+            src_tables, rot_grids, transes, depth_super, table_scales,
+            dtype, H, W,
+        )  # (S, B, H, W, pack*block*C)
+        ys_list = []
+        for i in range(pack):
+            w_i = jax.lax.slice_in_dim(
+                warped_super, i * block * C, (i + 1) * block * C, axis=4
+            )
+            cost_block = _cost_from_warped(
+                params, ref_feat, w_i, residual_scale, config.residual_dtype
+            )
+            dvals = jax.lax.slice_in_dim(
+                depth_super, i * block, (i + 1) * block, axis=1
+            )
+            carry, costs = consume_block(carry, cost_block, dvals)
+            if config.collect_volume:
+                ys_list.append(costs)
+        ys = (
+            jnp.concatenate(ys_list, axis=0) if config.collect_volume
+            else jnp.zeros((), jnp.float32)
+        )
+        return carry, ys
 
     if config.remat:
         block_step = jax.checkpoint(block_step)

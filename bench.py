@@ -298,13 +298,16 @@ def main():
     else:
         depths = np.linspace(425.0, 933.8, D, dtype=np.float32)[None]
 
-    gate = pick_packed_rows(proj[0], depths[0], H, W, block)
+    gather_pack = int(os.environ.get("BENCH_GATHER_PACK", 1))
+    gate = pick_packed_rows(proj[0], depths[0], H, W, block * gather_pack)
     if packed_env == "1" and not gate:
         raise SystemExit(
             "BENCH_PACKED=1 but the scene's per-step warp displacement "
             "fails the 2 px packed-row exactness gate at this block size"
         )
     packed_rows = gate if packed_env == "auto" else packed_env == "1"
+    if gather_pack > 1 and not packed_rows:
+        raise SystemExit("BENCH_GATHER_PACK > 1 requires the packed gate to pass")
     if not packed_rows and "BENCH_BLOCK" not in os.environ and block > 4:
         # The unpacked block-8 north-star program is too large for the
         # tunnel's remote compile helper (SIGKILL, the round-2 driver
@@ -319,6 +322,7 @@ def main():
         table_dtype=table_dtype, fold_omega=fold_omega,
         pallas_gates=pallas_gates, packed_rows=packed_rows,
         residual_dtype=residual_dtype if packed_rows else None,
+        gather_pack=gather_pack if packed_rows else 1,
     )
 
     @jax.jit
@@ -367,6 +371,7 @@ def main():
             "fold_omega": fold_omega, "pallas_gates": pallas_gates,
             "packed_rows": packed_rows, "depth_block": block,
             "fp8_residual": config.residual_dtype is not None,
+            "gather_pack": config.gather_pack,
         },
     }
     # One warp-gather row per (src-view, depth, pixel) — or per
@@ -376,7 +381,7 @@ def main():
     row_rate = MEASURED_GATHER_ROWS_PER_S
     row_bytes = 4 * 32 * (1 if table_dtype is not None else jnp.dtype(dtype).itemsize)
     if packed_rows:
-        gather_rows //= block
+        gather_rows //= block * config.gather_pack
         row_rate = MEASURED_GATHER_ROWS512_PER_S
         row_bytes *= 4
     t_gather = gather_rows / row_rate

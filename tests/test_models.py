@@ -424,6 +424,48 @@ class TestSweepLevers:
             np.asarray(packed["depth"]), np.asarray(base["depth"]), atol=1e-3
         )
 
+    @pytest.mark.parametrize("pack", [2, 4])
+    def test_gather_pack_matches_packed(self, params, pack):
+        """Super-packed gathers (one row serving pack*block hypotheses,
+        consumed by `pack` sub-blocks) must reproduce the packed sweep
+        exactly when the super-block gate passes — including the collected
+        cost volume's sweep order."""
+        from aa_rmvsnet_tpu.models.network import pick_packed_rows
+
+        imgs, proj, depths = _random_scene(seed=7)
+        block = 2
+        assert pick_packed_rows(proj[0], depths[0], imgs.shape[2],
+                                imgs.shape[3], depth_block=block * pack)
+        cfg = dict(depth_block=block, packed_rows=True)
+        base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                       jnp.asarray(depths), SweepConfig(**cfg))
+        sp = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                     jnp.asarray(depths),
+                     SweepConfig(**cfg, gather_pack=pack))
+        np.testing.assert_allclose(
+            np.asarray(sp["cost_volume"]), np.asarray(base["cost_volume"]),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp["depth"]), np.asarray(base["depth"]), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp["photometric_confidence"]),
+            np.asarray(base["photometric_confidence"]), atol=1e-5,
+        )
+
+    def test_gather_pack_requires_packed_and_divisibility(self, params):
+        imgs, proj, depths = _random_scene(seed=7)
+        with pytest.raises(ValueError, match="packed_rows"):
+            forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                    jnp.asarray(depths),
+                    SweepConfig(depth_block=2, gather_pack=2))
+        with pytest.raises(ValueError, match="divisible"):
+            forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                    jnp.asarray(depths),
+                    SweepConfig(depth_block=2, packed_rows=True,
+                                gather_pack=3))
+
     def test_omega_folded_input_scale_is_exact(self):
         """The kernel-folded dequantization of the fp8 residual lever:
         omega_folded(p, q, G, input_scale=s) == omega_folded(p, q*tile(s), G)

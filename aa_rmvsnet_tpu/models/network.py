@@ -35,8 +35,8 @@ from .regularizer import UNetConvLSTM, init_states
 from ..ops.homography import homography_terms, max_depth_step_displacement, plane_sweep_xy
 from ..ops.patch_sample import (
     build_patch_table,
-    build_patch_table4,
-    build_patch_table4_quant,
+    build_patch_table_packed,
+    build_patch_table_packed_quant,
     build_patch_table_quant,
     patch_bilinear_sample,
     patch_bilinear_sample_packed,
@@ -149,6 +149,11 @@ class SweepConfig:
     # the SUPER block's warp span must pass the 2 px gate — gate with
     # ``pick_packed_rows(..., depth_block=gather_pack * depth_block)``.
     gather_pack: int = 1
+    # Packed-table window size per axis (4 or 6).  taps=6 stores a
+    # 36-tap/2.25x-HBM table whose exactness span limit is 4 px instead of
+    # 2 px — i.e. ~2x the hypotheses per gather row at the same geometry
+    # (pairs with gather_pack when the 4 px gate passes where 2 px fails).
+    table_taps: int = 4
     # fp8 residual-storage lever (packed path only): store the squared
     # residual — the cost block's dominant non-gather HBM stream, written
     # once and read twice — in this dtype (e.g. jnp.float8_e4m3fn) with a
@@ -332,9 +337,10 @@ def _build_cost_block_packed(
     table_scales: jnp.ndarray | None = None,
     residual_scale: jnp.ndarray | None = None,
     residual_dtype: Any = None,
+    table_taps: int = 4,
 ) -> jnp.ndarray:
-    """Packed-row variant: ONE 4x4-patch gather row per (view, pixel)
-    serves the whole depth block.
+    """Packed-row variant: ONE taps x taps-patch gather row per
+    (view, pixel) serves the whole depth block.
 
     On gather-row-rate-limited backends this cuts the binding resource of
     the sweep ~Db/1.6-fold (BENCHMARKS.md round-2).  The packed sample
@@ -356,6 +362,7 @@ def _build_cost_block_packed(
     warped = _warp_packed(
         src_tables, rot_grids, transes, depth_block, table_scales,
         ref_feat.dtype, ref_feat.shape[1], ref_feat.shape[2],
+        taps=table_taps,
     )
     return _cost_from_warped(
         params, ref_feat, warped, residual_scale, residual_dtype
@@ -364,11 +371,11 @@ def _build_cost_block_packed(
 
 def _warp_packed(
     src_tables, rot_grids, transes, depth_block, table_scales,
-    compute_dtype, H: int, W: int,
+    compute_dtype, H: int, W: int, taps: int = 4,
 ) -> jnp.ndarray:
     """Packed warp of ``K = depth_block.shape[1]`` hypotheses per gather
     row; returns the folded ``(S, B, H, W, K*C)`` warped volume."""
-    S, B, HW, C16 = src_tables.shape
+    S, B, HW, CT = src_tables.shape
     K = depth_block.shape[1]
 
     def warp_one_view(table, rot_grid, trans, scale):
@@ -377,7 +384,7 @@ def _warp_packed(
         yg = y.transpose(0, 2, 1)
         out = patch_bilinear_sample_packed(
             table, xg, yg, H, W, scale=scale, compute_dtype=compute_dtype,
-            folded_out=True,
+            folded_out=True, taps=taps,
         )  # (B, H*W, K*C) — folded layout straight out of the tile blend
         return out.reshape(B, H, W, -1)
 
@@ -429,11 +436,13 @@ def _cost_from_warped(
 
 def pick_packed_rows(
     proj_matrices, depth_values, height: int, width: int, depth_block: int,
-    margin: float = 0.95,
+    margin: float = 0.95, taps: int = 4,
 ) -> bool:
     """Host-side gate for ``SweepConfig.packed_rows``: True iff every
-    depth block's warp positions are guaranteed to span <= 2 px per pixel
-    (the packed row's exactness contract), with a safety ``margin``.
+    depth block's warp positions are guaranteed to span <= ``taps - 2`` px
+    per pixel (the packed row's exactness contract), with a safety
+    ``margin``.  Gate with ``depth_block = gather_pack * depth_block`` when
+    super-packing.
 
     Args:
       proj_matrices: ``(V, 4, 4)`` or ``(B, V, 4, 4)`` numpy/array.
@@ -451,7 +460,7 @@ def pick_packed_rows(
         step = max_depth_step_displacement(
             pm[b, 1:], pm[b, 0], dv[b], height, width
         )
-        if (depth_block - 1) * step > 2.0 * margin:
+        if (depth_block - 1) * step > (taps - 2.0) * margin:
             return False
     return True
 
@@ -498,10 +507,14 @@ def sweep(
     # One patch table per source view: each warp sample becomes a single
     # 128-lane gather row (see ops/patch_sample.py).  Optionally stored in
     # fp8 with per-channel scales — half the bytes on the dominant stream.
-    build_table = build_patch_table4 if config.packed_rows else build_patch_table
-    build_table_quant = (
-        build_patch_table4_quant if config.packed_rows else build_patch_table_quant
-    )
+    if config.packed_rows:
+        build_table = functools.partial(
+            build_patch_table_packed, taps=config.table_taps)
+        build_table_quant = lambda f, dt: build_patch_table_packed_quant(
+            f, dt, taps=config.table_taps)
+    else:
+        build_table = build_patch_table
+        build_table_quant = build_patch_table_quant
     if config.table_dtype is not None and config.table_dtype != dtype:
         src_tables, table_scales = jax.vmap(
             lambda f: build_table_quant(f, config.table_dtype)
@@ -565,7 +578,8 @@ def sweep(
 
     residual_scale = None
     if config.packed_rows:
-        build = _build_cost_block_packed
+        build = functools.partial(
+            _build_cost_block_packed, table_taps=config.table_taps)
         if config.residual_dtype is not None:
             # Shared (max over views + ref) per-channel fp8 scale so one
             # scale serves every view's residual (kernel-foldable in omega).
@@ -578,6 +592,7 @@ def sweep(
                 _build_cost_block_packed,
                 residual_scale=residual_scale,
                 residual_dtype=config.residual_dtype,
+                table_taps=config.table_taps,
             )
     elif config.residual_dtype is not None:
         raise ValueError("residual_dtype requires packed_rows")
@@ -660,7 +675,7 @@ def sweep(
         # slices its folded (..., block*C) columns (k-major layout).
         warped_super = _warp_packed(
             src_tables, rot_grids, transes, depth_super, table_scales,
-            dtype, H, W,
+            dtype, H, W, taps=config.table_taps,
         )  # (S, B, H, W, pack*block*C)
         ys_list = []
         for i in range(pack):

@@ -16,6 +16,8 @@ from .patch_sample import (
     build_patch_table,
     build_patch_table4,
     build_patch_table4_quant,
+    build_patch_table_packed,
+    build_patch_table_packed_quant,
     build_patch_table_quant,
     patch_bilinear_sample,
     patch_bilinear_sample_packed,

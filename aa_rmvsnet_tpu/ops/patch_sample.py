@@ -155,27 +155,50 @@ def build_patch_table4(feat: jnp.ndarray) -> jnp.ndarray:
     enabling packed mode on memory-tight configs (e.g. large spatial tiles
     with collect_volume=True).
     """
+    return build_patch_table_packed(feat, taps=4)
+
+
+def build_patch_table_packed(feat: jnp.ndarray, taps: int = 4) -> jnp.ndarray:
+    """``taps x taps``-neighborhood table: row ``y*W + x`` holds the
+    ``taps^2`` texels ``[(y..y+taps-1) x (x..x+taps-1)]`` flattened to
+    ``taps^2 * C`` lanes (zero lane-padding for C=32 and taps in {2,4,6}:
+    128/512/1152 lanes are all multiples of 128).
+
+    One row serves a GROUP of samples whose bilinear footprints fit the
+    window — span limit ``taps - 2`` px per axis.  taps=6 trades 2.25x the
+    table HBM of taps=4 for a 4 px span, i.e. K~2x more depth hypotheses
+    per gather row at the same scene geometry (the round-3 '6x6 tables'
+    lever, affordable now that ``gather_pack`` keeps the per-sub-block
+    program at the proven block-8 size)."""
     B, H, W, C = feat.shape
-    padded = jnp.pad(feat, ((0, 0), (0, 3), (0, 3), (0, 0)))
-    taps = [
+    padded = jnp.pad(feat, ((0, 0), (0, taps - 1), (0, taps - 1), (0, 0)))
+    views = [
         padded[:, dy : H + dy, dx : W + dx]
-        for dy in range(4)
-        for dx in range(4)
+        for dy in range(taps)
+        for dx in range(taps)
     ]
-    return jnp.concatenate(taps, axis=-1).reshape(B, H * W, 16 * C)
+    return jnp.concatenate(views, axis=-1).reshape(B, H * W, taps * taps * C)
 
 
 def build_patch_table4_quant(feat: jnp.ndarray, dtype=jnp.float8_e4m3fn):
     """fp8 variant of :func:`build_patch_table4` (per-channel scales as in
     :func:`build_patch_table_quant`).  Returns ``(table, scale)`` with
     ``scale`` shaped ``(B, 1, 16C)``."""
+    return build_patch_table_packed_quant(feat, dtype, taps=4)
+
+
+def build_patch_table_packed_quant(
+    feat: jnp.ndarray, dtype=jnp.float8_e4m3fn, taps: int = 4
+):
+    """fp8 variant of :func:`build_patch_table_packed`; ``scale`` is
+    ``(B, 1, taps^2 * C)``."""
     B, H, W, C = feat.shape
     feat32 = feat.astype(jnp.float32)
     amax = jnp.max(jnp.abs(feat32), axis=(1, 2), keepdims=True)
     scale = jnp.maximum(amax / _F8_MAX, 1e-12)
     q = (feat32 / scale).astype(dtype)
-    table = build_patch_table4(q)
-    return table, jnp.tile(scale.reshape(B, 1, C), (1, 1, 16))
+    table = build_patch_table_packed(q, taps=taps)
+    return table, jnp.tile(scale.reshape(B, 1, C), (1, 1, taps * taps))
 
 
 #: default per-tile budget for the packed blend's padded temporaries;
@@ -190,14 +213,15 @@ _TILE_TARGET_BYTES = int(os.environ.get("AA_RMVSNET_TILE_MB", "128")) * 2**20
 
 def _packed_tile_pixels(G: int, K: int, out_itemsize: int,
                         target_bytes: int | None = None,
-                        batch: int = 1) -> int:
+                        batch: int = 1, row_lanes: int = 512) -> int:
     """Largest divisor of G whose per-tile blend intermediates stay under
-    ``target_bytes`` (estimated at the TPU-padded size: the (B, Gt, K, 4, C)
-    einsum temp carries a 128-lane-padded minor axis).  ``target_bytes`` is
-    a per-source-view budget (see ``_TILE_TARGET_BYTES``)."""
+    ``target_bytes`` (estimated at the TPU-padded size: the gathered-row
+    temp carries ``row_lanes = taps^2 * C`` lanes per (pixel, K)).
+    ``target_bytes`` is a per-source-view budget (see
+    ``_TILE_TARGET_BYTES``)."""
     if target_bytes is None:
         target_bytes = _TILE_TARGET_BYTES
-    per_px = batch * K * 4 * 128 * out_itemsize
+    per_px = batch * K * row_lanes * out_itemsize
     max_gt = max(1, target_bytes // per_px)
     if G <= max_gt:
         return G
@@ -217,15 +241,19 @@ def patch_bilinear_sample_packed(
     compute_dtype=None,
     folded_out: bool = False,
     tile_target_bytes: int | None = None,
+    taps: int = 4,
 ) -> jnp.ndarray:
-    """Bilinear-sample K grouped coordinates per ONE 4x4-patch gather row.
+    """Bilinear-sample K grouped coordinates per ONE ``taps x taps``-patch
+    gather row.
 
     Args:
-      table: ``(B, H*W, 16C)`` from :func:`build_patch_table4`.
+      table: ``(B, H*W, taps^2 * C)`` from :func:`build_patch_table_packed`.
       x, y: ``(B, G, K)`` fractional pixel coordinates; the K samples of a
         group share one gather (in the sweep: one pixel, K consecutive
         depth hypotheses).
-      scale: optional ``(B, 1, 16C)`` dequantization factors.
+      scale: optional ``(B, 1, taps^2 * C)`` dequantization factors.
+      taps: window size per axis (4 or 6); the exactness span limit is
+        ``taps - 2`` px.
       folded_out: return ``(B, G, K*C)`` (the depth-folded layout the cost
         build consumes, minor axis ``K*C`` lanes — no padding for K*C a
         multiple of 128/dtype-tile) instead of ``(B, G, K, C)``.
@@ -241,12 +269,12 @@ def patch_bilinear_sample_packed(
 
     EXACTNESS CONTRACT: results equal per-sample bilinear (torch
     grid_sample zeros / align_corners=True semantics) iff every group's
-    coordinate span satisfies ``max-min <= 2`` px in both axes — then each
-    sample's 2x2 footprint lies inside the 4x4 window anchored at the
-    group-min floor (out-of-image texels are zero in the table, and taps
-    farther than 1 px get zero tent weight, reproducing every border
+    coordinate span satisfies ``max-min <= taps - 2`` px in both axes —
+    then each sample's 2x2 footprint lies inside the window anchored at
+    the group-min floor (out-of-image texels are zero in the table, and
+    taps farther than 1 px get zero tent weight, reproducing every border
     case).  The caller must guarantee the span bound — in the plane sweep
-    it follows from ``(K-1) * max per-depth-step displacement <= 2``,
+    it follows from ``(K-1) * max per-depth-step displacement <= taps-2``,
     checked on host by ``models.network.max_depth_step_displacement``.
     Groups violating the bound silently lose taps; do not use without the
     check.
@@ -254,17 +282,18 @@ def patch_bilinear_sample_packed(
     import jax
 
     B, G, K = x.shape
-    _, HW, C16 = table.shape
-    C = C16 // 16
+    _, HW, CT = table.shape
+    T = taps
+    C = CT // (T * T)
     out_dtype = compute_dtype or table.dtype
 
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
 
     gt = _packed_tile_pixels(G, K, jnp.dtype(out_dtype).itemsize,
-                             tile_target_bytes, batch=B)
+                             tile_target_bytes, batch=B, row_lanes=T * T * C)
     num_tiles = G // gt
-    taps = jnp.arange(4.0)
+    tap_pos = jnp.arange(float(T))
     tent = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
     def blend_tile(args):
@@ -276,21 +305,21 @@ def patch_bilinear_sample_packed(
         ay = jnp.clip(jnp.floor(jnp.min(yt, axis=2)), 0, height - 1)
         idx = (ay * width + ax).astype(jnp.int32)
 
-        rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, gt, 16C)
+        rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B,gt,T*T*C)
         rows = rows.astype(out_dtype)
         if scale is not None:
             rows = rows * scale.astype(out_dtype)
-        patches = rows.reshape(B, gt, 16, C)  # (B, gt, tap, C)
+        patches = rows.reshape(B, gt, T * T, C)  # (B, gt, tap, C)
 
-        # Per-sample tent weights over the 4 patch rows / cols, combined
-        # into ONE (B, gt, K, 16) tap-weight tensor so the whole blend is a
-        # single batched (K x 16) @ (16 x C) contraction — the two-stage
-        # separable form materialized a (B, gt, K, 4, C) minor-C temp whose
-        # 4x lane padding made the blend HBM-bound (~0.3 s/block at the
-        # north-star config).
-        wx = tent(xt[..., None] - (ax[:, :, None, None] + taps))  # (B, gt, K, 4)
-        wy = tent(yt[..., None] - (ay[:, :, None, None] + taps))
-        w16 = (wy[..., :, None] * wx[..., None, :]).reshape(B, gt, K, 16)
+        # Per-sample tent weights over the T patch rows / cols, combined
+        # into ONE (B, gt, K, T^2) tap-weight tensor so the whole blend is
+        # a single batched (K x T^2) @ (T^2 x C) contraction — the
+        # two-stage separable form materialized a (B, gt, K, T, C) minor-C
+        # temp whose 4x lane padding made the blend HBM-bound (~0.3 s/block
+        # at the north-star config).
+        wx = tent(xt[..., None] - (ax[:, :, None, None] + tap_pos))  # (B,gt,K,T)
+        wy = tent(yt[..., None] - (ay[:, :, None, None] + tap_pos))
+        w16 = (wy[..., :, None] * wx[..., None, :]).reshape(B, gt, K, T * T)
         out = jnp.einsum(
             "bgkt,bgtc->bgkc", w16.astype(out_dtype), patches
         )

@@ -299,7 +299,15 @@ def main():
         depths = np.linspace(425.0, 933.8, D, dtype=np.float32)[None]
 
     gather_pack = int(os.environ.get("BENCH_GATHER_PACK", 1))
-    gate = pick_packed_rows(proj[0], depths[0], H, W, block * gather_pack)
+    table_taps = int(os.environ.get("BENCH_TABLE_TAPS", 4))
+    # The displacement estimate is a rigorous upper bound (endpoint max
+    # over the full pixel grid, fail-closed preconditions —
+    # ops/homography.py), so margins close to 1.0 remain exact; 0.95 stays
+    # the conservative default.  North-star K=16 x 6-tap sits at 3.82 px of
+    # the 4 px window and needs ~0.98.
+    pack_margin = float(os.environ.get("BENCH_PACK_MARGIN", 0.95))
+    gate = pick_packed_rows(proj[0], depths[0], H, W, block * gather_pack,
+                            margin=pack_margin, taps=table_taps)
     if packed_env == "1" and not gate:
         raise SystemExit(
             "BENCH_PACKED=1 but the scene's per-step warp displacement "
@@ -323,6 +331,7 @@ def main():
         pallas_gates=pallas_gates, packed_rows=packed_rows,
         residual_dtype=residual_dtype if packed_rows else None,
         gather_pack=gather_pack if packed_rows else 1,
+        table_taps=table_taps,
     )
 
     @jax.jit
@@ -372,6 +381,7 @@ def main():
             "packed_rows": packed_rows, "depth_block": block,
             "fp8_residual": config.residual_dtype is not None,
             "gather_pack": config.gather_pack,
+            "table_taps": table_taps,
         },
     }
     # One warp-gather row per (src-view, depth, pixel) — or per
@@ -383,7 +393,7 @@ def main():
     if packed_rows:
         gather_rows //= block * config.gather_pack
         row_rate = MEASURED_GATHER_ROWS512_PER_S
-        row_bytes *= 4
+        row_bytes *= table_taps * table_taps // 4
     t_gather = gather_rows / row_rate
     record.update(
         gather_mrows=round(gather_rows / 1e6, 3),

@@ -454,6 +454,45 @@ class TestSweepLevers:
             np.asarray(base["photometric_confidence"]), atol=1e-5,
         )
 
+    def test_table_taps6_where_4x4_gate_fails(self, params):
+        """6x6 tables extend the packed exactness span to 4 px: on a scene
+        whose super-block span is between 2 and 4 px (taps=4 gate FAILS,
+        taps=6 passes) the taps=6 packed+super-packed sweep must match the
+        exact per-depth path."""
+        from aa_rmvsnet_tpu.models.network import pick_packed_rows
+
+        imgs, proj, depths = _random_scene(seed=11)
+        H, W = imgs.shape[2], imgs.shape[3]
+        block, pack = 4, 2
+        # Widen the baselines until the K=8 span crosses 2 px but stays
+        # under 4 px.
+        proj = proj.copy()
+        for mult in (15.0, 20.0, 25.0, 30.0, 40.0):
+            p_try = proj.copy()
+            p_try[:, 1:, :3, 3] *= mult
+            if (not pick_packed_rows(p_try[0], depths[0], H, W,
+                                     block * pack, taps=4)
+                    and pick_packed_rows(p_try[0], depths[0], H, W,
+                                         block * pack, taps=6)):
+                proj = p_try
+                break
+        else:
+            pytest.fail("could not construct a (2,4] px span scene")
+
+        base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                       jnp.asarray(depths), SweepConfig(depth_block=block))
+        p6 = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                     jnp.asarray(depths),
+                     SweepConfig(depth_block=block, packed_rows=True,
+                                 gather_pack=pack, table_taps=6))
+        np.testing.assert_allclose(
+            np.asarray(p6["cost_volume"]), np.asarray(base["cost_volume"]),
+            atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(p6["depth"]), np.asarray(base["depth"]), atol=1e-3
+        )
+
     def test_gather_pack_requires_packed_and_divisibility(self, params):
         imgs, proj, depths = _random_scene(seed=7)
         with pytest.raises(ValueError, match="packed_rows"):

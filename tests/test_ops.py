@@ -280,6 +280,40 @@ class TestPatchSample:
         ).reshape(B, G, K, C)
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
+    def test_packed6_matches_bilinear_within_4px_span(self):
+        """6x6 packed rows: exact for spans up to 4 px — where the 4x4
+        window would silently lose taps (the gather_pack x2 enabler at the
+        north-star geometry, whose K=16 span is ~3.8 px)."""
+        from aa_rmvsnet_tpu.ops.patch_sample import (
+            build_patch_table_packed,
+            patch_bilinear_sample_packed,
+        )
+        from aa_rmvsnet_tpu.ops.grid_sample import bilinear_sample_xy
+
+        B, H, W, C, G, K = 2, 13, 17, 5, 200, 16
+        feat = rand(B, H, W, C, seed=36)
+        rng = np.random.RandomState(37)
+        bx = (rng.rand(B, G, 1) * (W + 8) - 4).astype(np.float32)
+        by = (rng.rand(B, G, 1) * (H + 8) - 4).astype(np.float32)
+        # spans drawn up to the full 4 px limit (beyond the 4x4 contract)
+        x = bx + (rng.rand(B, G, K) * 4.0).astype(np.float32)
+        y = by + (rng.rand(B, G, K) * 4.0).astype(np.float32)
+
+        table = build_patch_table_packed(jnp.asarray(feat), taps=6)
+        ours = np.asarray(
+            patch_bilinear_sample_packed(
+                table, jnp.asarray(x), jnp.asarray(y), H, W, taps=6
+            )
+        )
+        ref = np.asarray(
+            bilinear_sample_xy(
+                jnp.asarray(feat),
+                jnp.asarray(x.reshape(B, -1)),
+                jnp.asarray(y.reshape(B, -1)),
+            )
+        ).reshape(B, G, K, C)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
     def test_packed_tiled_matches_single_tile(self):
         """The lax.map pixel tiling (memory lever, round-3) must be
         numerically invisible, including the folded output layout."""

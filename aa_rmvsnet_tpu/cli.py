@@ -82,6 +82,17 @@ def _add_eval(sub):
                         "whole depth block (gather-row-count lever); "
                         "'auto' (default) enables it per sample when the "
                         "2 px exactness gate passes, 1/0 force on/off")
+    p.add_argument("--gather_pack", type=int, default=1,
+                   help="ONE packed gather row serves gather_pack*"
+                        "depth_block hypotheses (exactness-gated per "
+                        "sample; round-4 gather-row lever)")
+    p.add_argument("--table_taps", type=int, default=4, choices=[4, 6],
+                   help="packed-table window size: 6 stores 2.25x the "
+                        "table HBM for a 4 px exactness span (pairs with "
+                        "--gather_pack)")
+    p.add_argument("--fp8_residual", action="store_true",
+                   help="store the squared residual in fp8 (APPROXIMATE; "
+                        "see the quality gate in tests/test_models.py)")
     p.add_argument("--fp8_tables", action="store_true",
                    help="fp8-quantized warp patch tables (half the bytes on "
                         "the dominant gather stream)")
@@ -308,6 +319,8 @@ def cmd_eval(args):
             fold_omega=args.fold_omega, pallas_gates=args.pallas_gates,
             packed_rows=args.packed_rows,
             table_dtype=jnp.float8_e4m3fn if args.fp8_tables else None,
+            gather_pack=args.gather_pack, table_taps=args.table_taps,
+            residual_dtype=jnp.float8_e4m3fn if args.fp8_residual else None,
             mesh=mesh, pipeline_maps=args.pipeline_maps,
         ),
     )

@@ -48,15 +48,21 @@ from ..models.regularizer import init_states
 from ..ops.homography import homography_terms
 from ..ops.patch_sample import (
     build_patch_table,
-    build_patch_table4,
-    build_patch_table4_quant,
+    build_patch_table_packed,
+    build_patch_table_packed_quant,
     build_patch_table_quant,
 )
 
 
 def _select_build(config: SweepConfig):
+    if config.gather_pack > 1 or config.residual_dtype is not None:
+        raise ValueError(
+            "gather_pack / residual_dtype are not supported in the "
+            "depth-pipelined sweep (single-mesh sweep levers only)"
+        )
     if config.packed_rows:
-        return _build_cost_block_packed
+        return functools.partial(
+            _build_cost_block_packed, table_taps=config.table_taps)
     if config.fold_omega == "hybrid":
         return functools.partial(_build_cost_block, hybrid_omega=True)
     if config.fold_omega:
@@ -110,10 +116,14 @@ def sweep_depth_pipelined(
     S = V - 1
     sm_feats = src_feats.reshape(S * M, B, H, W, C)
 
-    build_table = build_patch_table4 if config.packed_rows else build_patch_table
-    build_table_quant = (
-        build_patch_table4_quant if config.packed_rows else build_patch_table_quant
-    )
+    if config.packed_rows:
+        build_table = functools.partial(
+            build_patch_table_packed, taps=config.table_taps)
+        build_table_quant = lambda f, dt: build_patch_table_packed_quant(
+            f, dt, taps=config.table_taps)
+    else:
+        build_table = build_patch_table
+        build_table_quant = build_patch_table_quant
     if config.table_dtype is not None and config.table_dtype != dtype:
         tables, scales = jax.vmap(
             lambda f: build_table_quant(f, config.table_dtype)

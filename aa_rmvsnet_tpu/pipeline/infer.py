@@ -53,6 +53,15 @@ class InferConfig:
     packed_rows: Any = "auto"  # "auto" | True | False
     pallas_gates: bool = False  # fused ConvLSTM gate kernel
     table_dtype: Any = None  # e.g. jnp.float8_e4m3fn for fp8 warp tables
+    # Gather super-packing + window size + fp8 residual storage (the
+    # round-4 packed-path levers; SweepConfig docstrings).  gather_pack /
+    # table_taps take effect only where the packed exactness gate passes
+    # at span (taps-2) px for gather_pack*depth_block hypotheses —
+    # resolve_packed() gates per sample.
+    gather_pack: int = 1
+    table_taps: int = 4
+    residual_dtype: Any = None  # e.g. jnp.float8_e4m3fn (approximate!)
+    pack_margin: float = 0.95
     # Multi-device fan-out: with a mesh whose ``data`` axis is > 1, samples
     # are bucketed by shape into batches of that size and sharded across
     # the axis — one jit cache entry per (shape, batch) instead of a strict
@@ -84,6 +93,9 @@ def _jitted_forward(config: InferConfig, with_volume: bool, packed: bool = False
         pallas_gates=config.pallas_gates,
         table_dtype=config.table_dtype,
         packed_rows=packed,
+        gather_pack=config.gather_pack if packed else 1,
+        table_taps=config.table_taps if packed else 4,
+        residual_dtype=config.residual_dtype if packed else None,
     )
 
     @jax.jit
@@ -163,7 +175,8 @@ def run_inference(
         H, W = sample["imgs"].shape[1:3]
         return pick_packed_rows(
             sample["proj_matrices"], sample["depth_values"], H, W,
-            config.depth_block,
+            config.depth_block * config.gather_pack,
+            margin=config.pack_margin, taps=config.table_taps,
         )
     evidential_apply = None
     if need_volume:
@@ -322,6 +335,9 @@ def _run_inference_depth_pipeline(params, dataset, config: InferConfig,
                 fold_omega=config.fold_omega,
                 pallas_gates=config.pallas_gates,
                 table_dtype=config.table_dtype, packed_rows=packed,
+                # gather_pack / residual_dtype are single-mesh levers; the
+                # pipelined sweep takes only the window size.
+                table_taps=config.table_taps if packed else 4,
             )
             _runs[packed] = jax.jit(
                 lambda p, i, pr, d: pipeline_forward(p, i, pr, d, mesh,
@@ -366,9 +382,12 @@ def _run_inference_depth_pipeline(params, dataset, config: InferConfig,
         from ..models.network import pick_packed_rows
 
         H, W = sample["imgs"].shape[1:3]
+        # The pipelined sweep does not super-pack gathers: gate at
+        # depth_block (window size still applies).
         return pick_packed_rows(
             sample["proj_matrices"], sample["depth_values"], H, W,
             config.depth_block,
+            margin=config.pack_margin, taps=config.table_taps,
         )
 
     buckets: dict = {}

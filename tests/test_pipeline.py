@@ -299,6 +299,41 @@ class TestInferenceDriver:
             assert (c >= 0).all() and (c <= 1.0001).all()
 
 
+class TestInferencePackedLevers:
+    def test_gather_pack_taps6_matches_default_eval(self, tmp_path):
+        """run_inference with the round-4 packed levers (gather_pack=2,
+        6x6 tables) writes the same depth maps as the default path when
+        the per-sample gate passes."""
+        import jax.numpy as jnp
+
+        from aa_rmvsnet_tpu.core.pfm import read_pfm
+        from aa_rmvsnet_tpu.models import init_params
+        from aa_rmvsnet_tpu.pipeline.infer import InferConfig, run_inference
+
+        make_plane_scene(tmp_path, H=32, W=32, num_views=3, focal=200.0)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+        ds = EvalDataset(str(tmp_path), str(listfile), nviews=3, ndepths=8,
+                         max_h=32, max_w=32)
+        import jax
+
+        params = init_params(jax.random.PRNGKey(0), 32, 32)
+
+        outs = {}
+        for tag, kwargs in (
+            ("base", {}),
+            ("packed", dict(gather_pack=2, table_taps=6, packed_rows=True)),
+        ):
+            out_root = str(tmp_path / f"out_{tag}")
+            run_inference(params, ds, InferConfig(
+                out_root=out_root, depth_block=4,
+                feature_dtype=jnp.float32, num_workers=0, **kwargs,
+            ), progress=False)
+            outs[tag] = read_pfm(
+                os.path.join(out_root, "scan1/depth_est_0/00000000.pfm"))[0]
+        np.testing.assert_allclose(outs["packed"], outs["base"], atol=1e-3)
+
+
 class TestInferenceTiming:
     def test_timing_path_forces_host_fetch(self):
         """The axon tunnel's block_until_ready returns without waiting

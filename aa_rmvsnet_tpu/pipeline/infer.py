@@ -84,7 +84,9 @@ class InferConfig:
     pipeline_maps: int | None = None
 
 
-def _jitted_forward(config: InferConfig, with_volume: bool, packed: bool = False):
+def _jitted_forward(config: InferConfig, with_volume: bool,
+                    mode=(False, 1, 4)):
+    packed, gather_pack, table_taps = mode
     sweep_config = SweepConfig(
         depth_block=config.depth_block,
         collect_volume=with_volume,
@@ -93,8 +95,8 @@ def _jitted_forward(config: InferConfig, with_volume: bool, packed: bool = False
         pallas_gates=config.pallas_gates,
         table_dtype=config.table_dtype,
         packed_rows=packed,
-        gather_pack=config.gather_pack if packed else 1,
-        table_taps=config.table_taps if packed else 4,
+        gather_pack=gather_pack if packed else 1,
+        table_taps=table_taps if packed else 4,
         residual_dtype=config.residual_dtype if packed else None,
     )
 
@@ -160,24 +162,32 @@ def run_inference(
     # single cache entry in practice).
     _runs: dict = {}
 
-    def get_run(packed: bool):
-        if packed not in _runs:
-            _runs[packed] = _jitted_forward(
-                config, with_volume=need_volume, packed=packed
+    def get_run(mode):
+        if mode not in _runs:
+            _runs[mode] = _jitted_forward(
+                config, with_volume=need_volume, mode=mode
             )
-        return _runs[packed]
+        return _runs[mode]
 
-    def resolve_packed(sample) -> bool:
+    def resolve_packed(sample):
+        """Resolve the packed-execution mode (packed, gather_pack, taps)
+        for one sample: the requested lever set where its exactness gate
+        passes, degrading to plain packed (pack=1, 4x4) and then to the
+        exact per-depth path."""
         if config.packed_rows != "auto":
-            return bool(config.packed_rows)
+            packed = bool(config.packed_rows)
+            return (packed, config.gather_pack if packed else 1,
+                    config.table_taps if packed else 4)
         from ..models.network import pick_packed_rows
 
         H, W = sample["imgs"].shape[1:3]
-        return pick_packed_rows(
-            sample["proj_matrices"], sample["depth_values"], H, W,
-            config.depth_block * config.gather_pack,
-            margin=config.pack_margin, taps=config.table_taps,
-        )
+        for gp, taps in ((config.gather_pack, config.table_taps), (1, 4)):
+            if pick_packed_rows(
+                sample["proj_matrices"], sample["depth_values"], H, W,
+                config.depth_block * gp, margin=config.pack_margin, taps=taps,
+            ):
+                return (True, gp, taps)
+        return (False, 1, 4)
     evidential_apply = None
     if need_volume:
         from ..models.evidential import make_evidential_apply
@@ -224,10 +234,10 @@ def run_inference(
     total = 0.0
     failures: list[str] = []
 
-    def flush(group: list, packed: bool) -> float:
+    def flush(group: list, mode) -> float:
         """Run one (possibly padded) batch and save its outputs."""
         nonlocal count
-        run = get_run(packed)
+        run = get_run(mode)
         n_real = len(group)
         padded = group + [group[-1]] * (fanout - n_real)
         imgs = jnp.asarray(np.stack([s["imgs"] for s in padded]))
@@ -290,11 +300,11 @@ def run_inference(
         bucket = buckets.setdefault(key, [])
         bucket.append(sample)
         if len(bucket) == fanout:
-            total += flush(bucket, packed=key[2])
+            total += flush(bucket, mode=key[2])
             buckets[key] = []
     for key, bucket in buckets.items():  # ragged tails
         if bucket:
-            total += flush(bucket, packed=key[2])
+            total += flush(bucket, mode=key[2])
 
     if failures:
         print(f"run_inference: {len(failures)} sample(s) skipped due to load failures")

@@ -262,7 +262,7 @@ def main():
     )
     residual_dtype = (
         jnp.float8_e4m3fn
-        if os.environ.get("BENCH_RESIDUAL_DTYPE", "none") == "fp8"
+        if os.environ.get("BENCH_RESIDUAL_DTYPE", "fp8") == "fp8"
         else None
     )
     fo_env = os.environ.get("BENCH_FOLD_OMEGA", "0")
@@ -298,24 +298,31 @@ def main():
     else:
         depths = np.linspace(425.0, 933.8, D, dtype=np.float32)[None]
 
-    gather_pack = int(os.environ.get("BENCH_GATHER_PACK", 1))
-    table_taps = int(os.environ.get("BENCH_TABLE_TAPS", 4))
-    # The displacement estimate is a rigorous upper bound (endpoint max
-    # over the full pixel grid, fail-closed preconditions —
-    # ops/homography.py), so margins close to 1.0 remain exact; 0.95 stays
-    # the conservative default.  North-star K=16 x 6-tap sits at 3.82 px of
-    # the 4 px window and needs ~0.98.
-    pack_margin = float(os.environ.get("BENCH_PACK_MARGIN", 0.95))
-    gate = pick_packed_rows(proj[0], depths[0], H, W, block * gather_pack,
-                            margin=pack_margin, taps=table_taps)
+    # Round-4 winner defaults: 6x6 tables + K=16 gather super-packing
+    # (0.0371 maps/s vs 0.0336 round-3, BENCHMARKS.md).  The displacement
+    # estimate behind the gate is a rigorous upper bound (endpoint max over
+    # the full pixel grid, fail-closed preconditions — ops/homography.py),
+    # so the 0.98 margin remains exact; north-star K=16 x 6-tap sits at
+    # 3.82 px of the 4 px window.
+    gather_pack = int(os.environ.get("BENCH_GATHER_PACK", 2))
+    table_taps = int(os.environ.get("BENCH_TABLE_TAPS", 6))
+    pack_margin = float(os.environ.get("BENCH_PACK_MARGIN", 0.98))
+    # Degrade chain mirroring the inference driver: requested lever set ->
+    # plain packed (pack=1, 4x4) -> exact per-depth path.
+    gate = False
+    for gp, taps in ((gather_pack, table_taps), (1, 4)):
+        if pick_packed_rows(proj[0], depths[0], H, W, block * gp,
+                            margin=pack_margin, taps=taps):
+            gather_pack, table_taps, gate = gp, taps, True
+            break
     if packed_env == "1" and not gate:
         raise SystemExit(
             "BENCH_PACKED=1 but the scene's per-step warp displacement "
-            "fails the 2 px packed-row exactness gate at this block size"
+            "fails the packed-row exactness gate at this block size"
         )
     packed_rows = gate if packed_env == "auto" else packed_env == "1"
-    if gather_pack > 1 and not packed_rows:
-        raise SystemExit("BENCH_GATHER_PACK > 1 requires the packed gate to pass")
+    if not packed_rows:
+        gather_pack, table_taps = 1, 4
     if not packed_rows and "BENCH_BLOCK" not in os.environ and block > 4:
         # The unpacked block-8 north-star program is too large for the
         # tunnel's remote compile helper (SIGKILL, the round-2 driver

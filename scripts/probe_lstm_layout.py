@@ -46,7 +46,8 @@ def _gn_nchw(x, scale, bias, groups, eps=1e-5):
     mean = x32.mean(axis=(2, 3, 4), keepdims=True)
     var = jnp.square(x32 - mean).mean(axis=(2, 3, 4), keepdims=True)
     norm = ((x32 - mean) * jax.lax.rsqrt(var + eps)).reshape(B, C, Hh, Ww)
-    return norm.astype(x.dtype) * scale[None, :, None, None] + bias[None, :, None, None]
+    out = norm * scale[None, :, None, None] + bias[None, :, None, None]
+    return out.astype(x.dtype)
 
 
 def _cell_nchw(cell_params, x, state):

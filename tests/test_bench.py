@@ -67,7 +67,7 @@ def test_bench_json_contract():
     assert rec["value"] > 0
     rows = 1 * 8 * 32 * 40
     if rec["config"]["packed_rows"]:  # BENCH_PACKED=auto may enable packing
-        rows //= rec["config"]["depth_block"]
+        rows //= rec["config"]["depth_block"] * rec["config"]["gather_pack"]
     assert rec["gather_mrows"] == pytest.approx(rows / 1e6, abs=1e-3)
     assert rec["gather_roofline_fraction"] > 0
 

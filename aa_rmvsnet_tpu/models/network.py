@@ -154,6 +154,10 @@ class SweepConfig:
     # 2 px — i.e. ~2x the hypotheses per gather row at the same geometry
     # (pairs with gather_pack when the 4 px gate passes where 2 px fails).
     table_taps: int = 4
+    # FeatNet view chunking (0 = all views in one batch): bounds feature
+    # extraction's peak HBM at big sizes (the 18/9-channel deform offset
+    # maps pad to 128 lanes) — the TnT 1920x1056 single-chip enabler.
+    feature_view_chunk: int = 0
     # fp8 residual-storage lever (packed path only): store the squared
     # residual — the cost block's dominant non-gather HBM stream, written
     # once and read twice — in this dtype (e.g. jnp.float8_e4m3fn) with a
@@ -173,13 +177,19 @@ def pick_depth_block(num_depth: int, target: int) -> int:
     return 1
 
 
-def extract_features(params, imgs: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+def extract_features(params, imgs: jnp.ndarray, dtype=jnp.float32,
+                     view_chunk: int = 0) -> jnp.ndarray:
     """Run FeatNet on every view as one batch.
 
     Args:
       imgs: ``(B, V, H, W, 3)`` standardized images.
       dtype: compute dtype (bfloat16 halves HBM traffic in the deformable
         gathers; fp32 for strict parity).
+      view_chunk: process views in sequential chunks of this size (0 = all
+        at once).  The deformable-conv offset/modulation maps carry 18/9
+        channels which TPU tiling pads to 128 lanes — at 1920x1056 x 7
+        views that is ~7 GB of live temps; chunking bounds FeatNet's peak
+        HBM at identical numerics (the per-view compute is independent).
 
     Returns:
       ``(V, B, H, W, 32)`` features (view-major for the sweep).
@@ -190,9 +200,18 @@ def extract_features(params, imgs: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarra
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
         )
         imgs = imgs.astype(dtype)
-    flat = imgs.reshape(B * V, H, W, C)
-    feats = AARMVSNetCore().apply(params, flat, method=AARMVSNetCore.features)
-    return feats.reshape(B, V, H, W, -1).transpose(1, 0, 2, 3, 4)
+    apply = lambda flat: AARMVSNetCore().apply(
+        params, flat, method=AARMVSNetCore.features)
+    if view_chunk and view_chunk < V:
+        feats = jnp.concatenate([
+            apply(
+                imgs[:, i : i + view_chunk].reshape(-1, H, W, C)
+            ).reshape(B, -1, H, W, 32)
+            for i in range(0, V, view_chunk)
+        ], axis=1)
+    else:
+        feats = apply(imgs.reshape(B * V, H, W, C)).reshape(B, V, H, W, -1)
+    return feats.transpose(1, 0, 2, 3, 4)
 
 
 def _build_cost_block(
@@ -728,7 +747,8 @@ def forward(
     config: SweepConfig = SweepConfig(),
 ):
     """Full forward: features + sweep.  ``imgs``: ``(B, V, H, W, 3)``."""
-    features = extract_features(params, imgs, dtype=config.feature_dtype)
+    features = extract_features(params, imgs, dtype=config.feature_dtype,
+                                view_chunk=config.feature_view_chunk)
     return sweep(params, features, proj_matrices, depth_values, config)
 
 

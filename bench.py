@@ -339,6 +339,7 @@ def main():
         residual_dtype=residual_dtype if packed_rows else None,
         gather_pack=gather_pack if packed_rows else 1,
         table_taps=table_taps,
+        feature_view_chunk=int(os.environ.get("BENCH_FEAT_CHUNK", 0)),
     )
 
     @jax.jit

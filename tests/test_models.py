@@ -505,6 +505,21 @@ class TestSweepLevers:
                     SweepConfig(depth_block=2, packed_rows=True,
                                 gather_pack=3))
 
+    def test_feature_view_chunk_is_exact(self, params):
+        """Chunked FeatNet extraction (the 1920x1056 peak-HBM bound) is
+        numerically identical to the all-views batch, including an uneven
+        final chunk."""
+        from aa_rmvsnet_tpu.models.network import extract_features
+
+        imgs, _, _ = _random_scene(seed=12)
+        full = extract_features(params, jnp.asarray(imgs))
+        for chunk in (1, 2):
+            chunked = extract_features(params, jnp.asarray(imgs),
+                                       view_chunk=chunk)
+            # batch-size-dependent conv algorithm choice: ~1e-6 jitter
+            np.testing.assert_allclose(
+                np.asarray(chunked), np.asarray(full), atol=1e-5)
+
     def test_omega_folded_input_scale_is_exact(self):
         """The kernel-folded dequantization of the fp8 residual lever:
         omega_folded(p, q, G, input_scale=s) == omega_folded(p, q*tile(s), G)

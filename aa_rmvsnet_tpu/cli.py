@@ -90,6 +90,9 @@ def _add_eval(sub):
                    help="packed-table window size: 6 stores 2.25x the "
                         "table HBM for a 4 px exactness span (pairs with "
                         "--gather_pack)")
+    p.add_argument("--feat_chunk", type=int, default=0,
+                   help="FeatNet view-chunk size (0 = all views at once); "
+                        "bounds feature-extraction peak HBM at big sizes")
     p.add_argument("--fp8_residual", action="store_true",
                    help="store the squared residual in fp8 (APPROXIMATE; "
                         "see the quality gate in tests/test_models.py)")
@@ -321,6 +324,7 @@ def cmd_eval(args):
             table_dtype=jnp.float8_e4m3fn if args.fp8_tables else None,
             gather_pack=args.gather_pack, table_taps=args.table_taps,
             residual_dtype=jnp.float8_e4m3fn if args.fp8_residual else None,
+            feature_view_chunk=args.feat_chunk,
             mesh=mesh, pipeline_maps=args.pipeline_maps,
         ),
     )

@@ -305,14 +305,19 @@ def _build_cost_block_folded(
     transes: jnp.ndarray,
     depth_block: jnp.ndarray,
     table_scales: jnp.ndarray | None = None,
+    residual_scale: jnp.ndarray | None = None,
+    residual_dtype: Any = None,
 ) -> jnp.ndarray:
     """Depth-folded variant of :func:`_build_cost_block`.
 
     Every intermediate keeps a ``Db*32``-lane channel axis: the warp gather
     emits rows in pixel-major order so its output reshapes directly to
-    ``(B, H, W, Db*C)`` (no lane padding for Db >= 4), and omega runs as a
-    ``Db``-grouped conv whose hidden width is ``Db*4`` lanes instead of 4
-    (32x lane padding -> 32/Db x).  Same math, same result.
+    ``(B, H, W, Db*C)`` (no lane padding for Db >= 4), and omega runs on
+    the folded layout.  Same math, same result; the residual/omega/variance
+    stage is shared with the packed path (:func:`_cost_from_warped`), so
+    the fp8 residual-storage lever applies here too — the
+    minimum-peak-HBM recipe for sizes where packed tables do not fit
+    (TnT 1920x1056 x 7 views, BENCHMARKS.md round-4).
     """
     S, B, HW, C4 = src_tables.shape
     _, H, W, C = ref_feat.shape
@@ -334,16 +339,9 @@ def _build_cost_block_folded(
     else:
         warped = jax.vmap(warp_one_view)(src_tables, rot_grids, transes, table_scales)
 
-    ref_tiled = jnp.tile(ref_feat, (1, 1, 1, Db))  # (B, H, W, Db*C)
-    residual_sq = (warped - ref_tiled[None]) ** 2  # (S, B, H, W, Db*C)
-
-    flat = residual_sq.transpose(1, 0, 2, 3, 4).reshape(B * S, H, W, Db * C)
-    weights = omega_folded(params["params"]["omega"], flat, Db)  # (B*S,H,W,Db)
-    weights = weights.reshape(B, S, H, W, Db).transpose(1, 0, 2, 3, 4)
-
-    r6 = residual_sq.reshape(S, B, H, W, Db, C)
-    variance = jnp.sum((weights[..., None] + 1.0) * r6, axis=0) / S  # (B,H,W,Db,C)
-    return -variance.transpose(3, 0, 1, 2, 4)  # (Db, B, H, W, C)
+    return _cost_from_warped(
+        params, ref_feat, warped, residual_scale, residual_dtype
+    )
 
 
 def _build_cost_block_packed(
@@ -596,29 +594,33 @@ def sweep(
         return jax.lax.scan(body, states, cost_block)
 
     residual_scale = None
+    if config.residual_dtype is not None:
+        if not (config.packed_rows or config.fold_omega is True):
+            raise ValueError(
+                "residual_dtype requires packed_rows or fold_omega=True "
+                "(the folded cost layouts)"
+            )
+        # Shared (max over views + ref) per-channel fp8 scale so one
+        # scale serves every view's residual (kernel-foldable in omega).
+        a = jnp.maximum(
+            jnp.max(jnp.abs(src_feats.astype(jnp.float32)), axis=(0, 1, 2, 3)),
+            jnp.max(jnp.abs(ref_feat.astype(jnp.float32)), axis=(0, 1, 2)),
+        )
+        residual_scale = jnp.maximum((2.0 * a) ** 2 / 448.0, 1e-12)
     if config.packed_rows:
         build = functools.partial(
-            _build_cost_block_packed, table_taps=config.table_taps)
-        if config.residual_dtype is not None:
-            # Shared (max over views + ref) per-channel fp8 scale so one
-            # scale serves every view's residual (kernel-foldable in omega).
-            a = jnp.maximum(
-                jnp.max(jnp.abs(src_feats.astype(jnp.float32)), axis=(0, 1, 2, 3)),
-                jnp.max(jnp.abs(ref_feat.astype(jnp.float32)), axis=(0, 1, 2)),
-            )
-            residual_scale = jnp.maximum((2.0 * a) ** 2 / 448.0, 1e-12)
-            build = functools.partial(
-                _build_cost_block_packed,
-                residual_scale=residual_scale,
-                residual_dtype=config.residual_dtype,
-                table_taps=config.table_taps,
-            )
-    elif config.residual_dtype is not None:
-        raise ValueError("residual_dtype requires packed_rows")
+            _build_cost_block_packed, table_taps=config.table_taps,
+            residual_scale=residual_scale,
+            residual_dtype=config.residual_dtype,
+        )
     elif config.fold_omega == "hybrid":
         build = functools.partial(_build_cost_block, hybrid_omega=True)
     elif config.fold_omega:
-        build = _build_cost_block_folded
+        build = functools.partial(
+            _build_cost_block_folded,
+            residual_scale=residual_scale,
+            residual_dtype=config.residual_dtype,
+        )
     else:
         build = _build_cost_block
 

@@ -62,6 +62,9 @@ class InferConfig:
     table_taps: int = 4
     residual_dtype: Any = None  # e.g. jnp.float8_e4m3fn (approximate!)
     pack_margin: float = 0.95
+    # FeatNet view chunking (0 = all views at once): bounds feature
+    # extraction's peak HBM at big sizes (SweepConfig.feature_view_chunk).
+    feature_view_chunk: int = 0
     # Multi-device fan-out: with a mesh whose ``data`` axis is > 1, samples
     # are bucketed by shape into batches of that size and sharded across
     # the axis — one jit cache entry per (shape, batch) instead of a strict
@@ -98,6 +101,7 @@ def _jitted_forward(config: InferConfig, with_volume: bool,
         gather_pack=gather_pack if packed else 1,
         table_taps=table_taps if packed else 4,
         residual_dtype=config.residual_dtype if packed else None,
+        feature_view_chunk=config.feature_view_chunk,
     )
 
     @jax.jit

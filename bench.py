@@ -336,7 +336,9 @@ def main():
         depth_block=block, collect_volume=False, feature_dtype=dtype,
         table_dtype=table_dtype, fold_omega=fold_omega,
         pallas_gates=pallas_gates, packed_rows=packed_rows,
-        residual_dtype=residual_dtype if packed_rows else None,
+        residual_dtype=(
+            residual_dtype if (packed_rows or fold_omega is True) else None
+        ),
         gather_pack=gather_pack if packed_rows else 1,
         table_taps=table_taps,
         feature_view_chunk=int(os.environ.get("BENCH_FEAT_CHUNK", 0)),
@@ -429,6 +431,15 @@ def main():
         )
         byts = float(gather_rows * row_bytes + 64 * px * D)
         record["cost_model"] = "analytic"
+        # The packed/folded paths run omega as block-diagonal DENSE convs —
+        # G = depth_block x the semantic FLOPs actually execute (the
+        # measured-cheapest way to avoid the 32x lane-padded streams,
+        # models/aggregation.py).  Reported separately so the semantic
+        # roofline below stays conservative while the executed work is
+        # visible.
+        if packed_rows or fold_omega:
+            waste = 2 * (macs["omega"] * px * S * D) * (block - 1)
+            record["tflops_executed"] = round((flops + waste) / 1e12, 2)
     else:
         record["cost_model"] = "xla"
     t_ideal = max(

@@ -581,6 +581,28 @@ class TestSweepLevers:
         assert confident.mean() > 0.5  # the gate must be non-vacuous
         assert within[confident].mean() >= 0.99, within[confident].mean()
 
+    def test_fp8_residual_folded_equals_packed(self, params):
+        """fold_omega=True + fp8 residual (the minimum-peak-HBM recipe for
+        sizes where packed tables do not fit) shares _cost_from_warped with
+        the packed path: identical warped inputs -> identical quantized
+        outputs."""
+        imgs, proj, depths = _random_scene(seed=7)
+        base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                       jnp.asarray(depths),
+                       SweepConfig(depth_block=4, packed_rows=True,
+                                   residual_dtype=jnp.float8_e4m3fn))
+        folded = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                         jnp.asarray(depths),
+                         SweepConfig(depth_block=4, fold_omega=True,
+                                     residual_dtype=jnp.float8_e4m3fn))
+        np.testing.assert_allclose(
+            np.asarray(folded["cost_volume"]),
+            np.asarray(base["cost_volume"]), atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(folded["depth"]), np.asarray(base["depth"]), atol=1e-3
+        )
+
     def test_residual_dtype_requires_packed(self, params):
         imgs, proj, depths = _random_scene(seed=9)
         with pytest.raises(ValueError, match="packed_rows"):

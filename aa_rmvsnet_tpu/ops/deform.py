@@ -21,6 +21,8 @@ running a stride-k conv, module.py:237-243).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 
@@ -101,18 +103,22 @@ def deform_conv(
     offset32 = offset.astype(jnp.float32)
     rows = jnp.arange(1, H + 1, dtype=jnp.float32)
     cols = jnp.arange(1, W + 1, dtype=jnp.float32)
-    dr = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)
-    dc = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)
-    p_r = rows[None, :, None, None] + dr + offset32[..., :K]  # (B, H, W, 9)
-    p_c = cols[None, None, :, None] + dc + offset32[..., K:]
+    dr = np.repeat(np.arange(-1, 2), 3).tolist()
+    dc = np.tile(np.arange(-1, 2), 3).tolist()
 
     w_kernel = kernel.reshape(9, C, O)
     out = jnp.zeros((B, H, W, O), x.dtype)
     for n in range(9):
+        # Per-tap coordinates computed INSIDE the loop: a stacked
+        # (B, H, W, 9) fp32 coordinate tensor carries a minor-9 axis that
+        # TPU tiling pads ~14x (observed 2 GB per tensor at 1920x1056 —
+        # the round-4 TnT OOM); per-tap (B, H, W) maps stay unpadded.
+        p_r = rows[None, :, None] + (dr[n] + offset32[..., n])  # (B, H, W)
+        p_c = cols[None, None, :] + (dc[n] + offset32[..., K + n])
         tap = patch_bilinear_sample(
             table,
-            p_c[..., n].reshape(B, -1),
-            p_r[..., n].reshape(B, -1),
+            p_c.reshape(B, -1),
+            p_r.reshape(B, -1),
             Hp, Wp,
         ).reshape(B, H, W, C)
         tap = tap * modulation[..., n, None]

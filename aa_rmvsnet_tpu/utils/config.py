@@ -79,9 +79,13 @@ EVAL_PRESETS: dict[str, dict] = {
     # The judged TnT-intermediate resolution (BASELINE.json config #3:
     # "7 views, 1920x1056").  1056 = 1080 rounded to a multiple of 32 with
     # the dataset's adaptive crop; 8 pad rows of the padded pipeline keep
-    # H % 32 == 0.  HBM note: at this size prefer depth_block<=4 per chip
-    # or a spatial mesh axis (one map's sweep streams ~4x the 544x1024
-    # bytes).  Shape-level smoke: tests/test_cli.py::TestTnTHighRes.
+    # H % 32 == 0.  MEASURED round-4 (BENCHMARKS.md "TnT presets"): V=7 at
+    # this size does NOT fit one 16 GB chip (packed tables 6.2 GB fp8 +
+    # ~6 GB omega buffers + block streams; allocation-dump-verified OOM),
+    # matching derive_depth_block's estimate — deploy with `--spatial 2`
+    # (+ `--feat_chunk 2`; sharding validated by dryrun_multichip's
+    # spatial-halo equality check) or a --view_num 5-class config.
+    # Shape-level smoke: tests/test_cli.py::TestTnTHighRes.
     "tnt_intermediate_1920": dict(nviews=7, ndepths=512, inverse_depth=True,
                                   pad_vertical=True, max_h=1056, max_w=1920,
                                   depth_block=4),

@@ -55,6 +55,13 @@ Flags via env:
   north-star DTU fine-sampling sweep passes); "1" errors if the gate
   fails; "0" forces the exact per-depth path.  NOTE packed tables cost
   4x the HBM of the 2x2 tables — see ops/patch_sample.build_patch_table4),
+  BENCH_GATHER_PACK (default 2: one packed row serves
+  gather_pack*depth_block hypotheses — round-4 winner),
+  BENCH_TABLE_TAPS (4|6, default 6: packed-window size; 6 = 4 px
+  exactness span), BENCH_PACK_MARGIN (default 0.98), BENCH_RESIDUAL_DTYPE
+  (fp8|none, default fp8: fp8 squared-residual storage, quality-gated),
+  BENCH_FEAT_CHUNK (default 0: FeatNet view-chunk size, peak-HBM bound),
+  BENCH_SAMPLER (linear|inverse_bounded, default linear),
   BENCH_DEADLINE_S (supervisor deadline, default 2700),
   BENCH_COST_ANALYSIS=1 (worker additionally runs the AOT
   lower().compile() cost analysis — fragile on the tunnel, off by

@@ -678,3 +678,51 @@ def test_bf16_eval_quality_guardrail():
     confident = c32 > 0.3
     assert confident.mean() > 0.5  # the scene must actually be confident
     assert within[confident].mean() >= 0.999, within[confident].mean()
+
+
+@pytest.mark.slow
+def test_production_lever_stack_quality_guardrail():
+    """The FULL round-4 bench/eval lever stack (bf16 + fp8 tables + 6x6
+    packed rows + gather_pack=2 + fp8 residual) vs exact fp32 at a
+    realistic size — the same criterion as the bf16 guardrail.  fp8
+    residual is an ENABLER of the winning config at the north-star size
+    (without it the super-block residual OOMs, BENCHMARKS.md), so its
+    quality must hold under the whole stack, not just in isolation."""
+    import tempfile
+
+    from scenefix import make_plane_scene
+    from aa_rmvsnet_tpu.data.eval_dataset import EvalDataset
+    from aa_rmvsnet_tpu.models.network import pick_packed_rows
+
+    tmp = tempfile.mkdtemp(prefix="stackguard_")
+    make_plane_scene(tmp, H=256, W=320, num_views=3, focal=600.0)
+    listfile = os.path.join(tmp, "list.txt")
+    with open(listfile, "w") as f:
+        f.write("scan1\n")
+    ds = EvalDataset(tmp, listfile, nviews=3, ndepths=128, max_h=256, max_w=320)
+    s = ds[0]
+    imgs = jnp.asarray(s["imgs"][None])
+    proj = jnp.asarray(s["proj_matrices"][None])
+    depths = jnp.asarray(s["depth_values"][None])
+    bin_w = float(depths[0, 1] - depths[0, 0])
+    assert pick_packed_rows(s["proj_matrices"], s["depth_values"], 256, 320,
+                            8 * 2, taps=6, margin=0.98)
+
+    params = load_torch_checkpoint(CKPT)
+    exact = forward(params, imgs, proj, depths,
+                    SweepConfig(depth_block=8, collect_volume=False))
+    stack = forward(params, imgs, proj, depths,
+                    SweepConfig(depth_block=8, collect_volume=False,
+                                feature_dtype=jnp.bfloat16,
+                                table_dtype=jnp.float8_e4m3fn,
+                                packed_rows=True, gather_pack=2,
+                                table_taps=6,
+                                residual_dtype=jnp.float8_e4m3fn))
+    d32 = np.asarray(exact["depth"])
+    c32 = np.asarray(exact["photometric_confidence"])
+    dq = np.asarray(stack["depth"])
+    within = np.abs(d32 - dq) <= bin_w + 1e-6
+    assert within.mean() >= 0.95, within.mean()
+    confident = c32 > 0.3
+    assert confident.mean() > 0.5
+    assert within[confident].mean() >= 0.99, within[confident].mean()

@@ -101,7 +101,10 @@ MEASURED_PEAK_BYTES = 115e9  # elementwise copy chain (read+write)
 # per (src-view, depth, pixel), which makes row issue rate the binding
 # ceiling of the whole sweep on this host.
 MEASURED_GATHER_ROWS_PER_S = 38.2e6
-MEASURED_GATHER_ROWS512_PER_S = 24.5e6  # 512-lane rows (packed 4x4 tables)
+# Packed-table row rates, re-calibrated round-4 with an fp8 random-row
+# gather microbench on this chip (8M rows from a 1M-row table):
+MEASURED_GATHER_ROWS512_PER_S = 53.2e6  # 512-lane fp8 rows (4x4 tables)
+MEASURED_GATHER_ROWS1152_PER_S = 32.5e6  # 1152-lane fp8 rows (6x6 tables)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 LAST_GOOD = os.path.join(_HERE, "bench_last_good.json")
@@ -409,7 +412,10 @@ def main():
     row_bytes = 4 * 32 * (1 if table_dtype is not None else jnp.dtype(dtype).itemsize)
     if packed_rows:
         gather_rows //= block * config.gather_pack
-        row_rate = MEASURED_GATHER_ROWS512_PER_S
+        row_rate = (
+            MEASURED_GATHER_ROWS1152_PER_S if table_taps == 6
+            else MEASURED_GATHER_ROWS512_PER_S
+        )
         row_bytes *= table_taps * table_taps // 4
     t_gather = gather_rows / row_rate
     record.update(

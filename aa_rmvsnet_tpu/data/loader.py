@@ -25,8 +25,15 @@ def prefetch_samples(
         indices = range(len(dataset))
     indices = list(indices)
     if num_workers <= 0:
+        # Same failure contract as the threaded path: loader errors are
+        # YIELDED as Exception objects, not raised — resilient_samples /
+        # the inference driver depend on it (num_workers=0 is an exposed
+        # CLI setting).
         for i in indices:
-            yield dataset[i]
+            try:
+                yield dataset[i]
+            except Exception as exc:
+                yield exc
         return
 
     with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:

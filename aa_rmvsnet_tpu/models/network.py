@@ -203,12 +203,12 @@ def extract_features(params, imgs: jnp.ndarray, dtype=jnp.float32,
     apply = lambda flat: AARMVSNetCore().apply(
         params, flat, method=AARMVSNetCore.features)
     if view_chunk and view_chunk < V:
-        feats = jnp.concatenate([
-            apply(
-                imgs[:, i : i + view_chunk].reshape(-1, H, W, C)
-            ).reshape(B, -1, H, W, 32)
-            for i in range(0, V, view_chunk)
-        ], axis=1)
+        chunks = []
+        for i in range(0, V, view_chunk):
+            k = min(view_chunk, V - i)
+            out = apply(imgs[:, i : i + k].reshape(B * k, H, W, C))
+            chunks.append(out.reshape(B, k, H, W, out.shape[-1]))
+        feats = jnp.concatenate(chunks, axis=1)
     else:
         feats = apply(imgs.reshape(B * V, H, W, C)).reshape(B, V, H, W, -1)
     return feats.transpose(1, 0, 2, 3, 4)

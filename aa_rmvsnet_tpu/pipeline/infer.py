@@ -176,20 +176,34 @@ def run_inference(
     def resolve_packed(sample):
         """Resolve the packed-execution mode (packed, gather_pack, taps)
         for one sample: the requested lever set where its exactness gate
-        passes, degrading to plain packed (pack=1, 4x4) and then to the
-        exact per-depth path."""
-        if config.packed_rows != "auto":
-            packed = bool(config.packed_rows)
-            return (packed, config.gather_pack if packed else 1,
-                    config.table_taps if packed else 4)
-        from ..models.network import pick_packed_rows
+        (and the depth-count divisibility the sweep requires) passes,
+        degrading to plain packed (pack=1, 4x4) and then to the exact
+        per-depth path.  ``packed_rows=True`` forces the packed PATH but
+        the super-pack levers stay gated (an ungated gather_pack silently
+        loses bilinear taps — patch_sample.py exactness contract)."""
+        from ..models.network import pick_depth_block, pick_packed_rows
 
         H, W = sample["imgs"].shape[1:3]
-        for gp, taps in ((config.gather_pack, config.table_taps), (1, 4)):
-            if pick_packed_rows(
+        D = sample["depth_values"].shape[-1]
+        block = pick_depth_block(D, config.depth_block)
+
+        def gate(gp, taps):
+            return D % (block * gp) == 0 and pick_packed_rows(
                 sample["proj_matrices"], sample["depth_values"], H, W,
-                config.depth_block * gp, margin=config.pack_margin, taps=taps,
-            ):
+                block * gp, margin=config.pack_margin, taps=taps,
+            )
+
+        modes = [(config.gather_pack, config.table_taps)]
+        if modes[0] != (1, 4):
+            modes.append((1, 4))
+        if config.packed_rows != "auto":
+            if not config.packed_rows:
+                return (False, 1, 4)
+            for gp, taps in modes:
+                if (gp, taps) == (1, 4) or gate(gp, taps):
+                    return (True, gp, taps)
+        for gp, taps in modes:
+            if gate(gp, taps):
                 return (True, gp, taps)
         return (False, 1, 4)
     evidential_apply = None
@@ -333,6 +347,14 @@ def _run_inference_depth_pipeline(params, dataset, config: InferConfig,
     mesh = config.mesh
     stages = int(mesh.shape["depth"])
     M = config.pipeline_maps or 2 * stages
+    if config.gather_pack > 1 or config.residual_dtype is not None:
+        # Surface the dropped levers loudly — a silent drop would make a
+        # user benchmark the wrong configuration.
+        print(
+            "WARNING: --depth_stages pipelining ignores gather_pack / "
+            "fp8-residual (single-mesh sweep levers); running without them",
+            flush=True,
+        )
 
     params = jax.device_put(
         params, jax.tree.map(

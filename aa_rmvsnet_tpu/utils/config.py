@@ -109,25 +109,31 @@ def sweep_hbm_bytes(
     fp8_tables: bool = True,
     bf16: bool = True,
     fp8_residual: bool = False,
+    table_taps: int = 4,
+    gather_pack: int = 1,
 ) -> float:
     """Rough peak-HBM estimate of the inference sweep's live tensors.
 
     Counts the dominant allocations of the packed cost block at their
-    TPU-padded sizes: warp patch tables (16 taps/px/view), the blended
-    ``warped`` volume and squared residual (``S x px x Db*C``), omega's
-    folded intermediates (128-lane padded), the variance/cost slices, and
-    the ConvLSTM states/features.  Used by :func:`derive_depth_block` to
-    pick the largest block that fits; calibrate against BENCHMARKS.md
-    round-4 TnT measurements rather than trusting it absolutely.
+    TPU-padded sizes: warp patch tables (``table_taps^2`` texels/px/view),
+    the blended ``warped`` volume (a SUPER block's worth when
+    ``gather_pack > 1``) and squared residual, omega's folded
+    intermediates (128-lane padded), the variance/cost slices, and the
+    ConvLSTM states/features.  Used by :func:`derive_depth_block` to pick
+    the largest block that fits; measured calibration points
+    (BENCHMARKS.md round-4 "TnT presets"): 864x1152 x 5v packed db8 runs,
+    1056x1920 x 7v OOMs in every single-chip recipe.
     """
     px = height * width
     S = nviews - 1
     C = 32
     feat_b = 2 if bf16 else 4
-    taps = 16 if packed else 4
-    tables = S * px * taps * C * (1 if fp8_tables else feat_b)
-    warped = S * px * depth_block * C * feat_b
-    residual = warped // (2 if fp8_residual else 1) if fp8_residual else warped
+    texels = table_taps * table_taps if packed else 4
+    tables = S * px * texels * C * (1 if fp8_tables else feat_b)
+    warped = S * px * depth_block * gather_pack * C * feat_b
+    residual = (
+        S * px * depth_block * C * (1 if fp8_residual else feat_b)
+    )
     # omega folded intermediates: two (S, px, max(Db*4, 128)-lane) streams.
     omega = 2 * S * px * max(depth_block * 4, 128) * feat_b
     variance = px * depth_block * C * feat_b          # cost slices

@@ -157,6 +157,15 @@ class TestDTUTrainDataset:
         with pytest.raises(RuntimeError):
             list(resilient_samples(FlakyDS(range(6)), num_workers=2))
 
+        # The synchronous (num_workers=0) path must honor the same
+        # contract — a corrupt file is substituted, not raised.
+        skips0 = []
+        out0 = list(resilient_samples(
+            FlakyDS({3}), num_workers=0, on_skip=skips0.append,
+        ))
+        assert len(out0) == 6 and len(skips0) == 1
+        assert [o["x"][0] for o in out0] == [0.0, 1.0, 2.0, 2.0, 4.0, 5.0]
+
 
 class TestFusion:
     def test_consistent_plane_survives(self, tmp_path):
@@ -332,6 +341,33 @@ class TestInferencePackedLevers:
             outs[tag] = read_pfm(
                 os.path.join(out_root, "scan1/depth_est_0/00000000.pfm"))[0]
         np.testing.assert_allclose(outs["packed"], outs["base"], atol=1e-3)
+
+    def test_gather_pack_degrades_on_indivisible_depth_count(self, tmp_path):
+        """gather_pack whose super block does not divide D must degrade to
+        plain packed instead of crashing the sweep (D=12 with block 4,
+        pack 2 -> 12 % 8 != 0)."""
+        import jax
+        import jax.numpy as jnp
+
+        from aa_rmvsnet_tpu.core.pfm import read_pfm
+        from aa_rmvsnet_tpu.models import init_params
+        from aa_rmvsnet_tpu.pipeline.infer import InferConfig, run_inference
+
+        make_plane_scene(tmp_path, H=32, W=32, num_views=3, focal=200.0)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+        ds = EvalDataset(str(tmp_path), str(listfile), nviews=3, ndepths=12,
+                         max_h=32, max_w=32)
+        params = init_params(jax.random.PRNGKey(0), 32, 32)
+        out_root = str(tmp_path / "out_indiv")
+        stats = run_inference(params, ds, InferConfig(
+            out_root=out_root, depth_block=4, feature_dtype=jnp.float32,
+            num_workers=0, gather_pack=2, table_taps=6,
+        ), progress=False)
+        assert stats["count"] == len(ds)
+        arr = read_pfm(
+            os.path.join(out_root, "scan1/depth_est_0/00000000.pfm"))[0]
+        assert np.isfinite(arr).all()
 
 
 class TestInferenceTiming:

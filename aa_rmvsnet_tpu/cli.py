@@ -54,7 +54,10 @@ def _add_eval(sub):
     p.add_argument("--numdepth", type=int)
     p.add_argument("--max_h", type=int)
     p.add_argument("--max_w", type=int)
-    p.add_argument("--depth_block", type=int)
+    p.add_argument("--depth_block", type=lambda s: s if s == "auto" else int(s),
+                   help="hypotheses per scan step, or 'auto' to derive the "
+                        "largest block whose HBM estimate fits the chip "
+                        "(utils.config.derive_depth_block)")
     p.add_argument("--interval_scale", type=float,
                    help="depth interval scale (reference eval.py default 1.0)")
     p.add_argument("--fp32", action="store_true")
@@ -96,6 +99,11 @@ def _add_eval(sub):
     p.add_argument("--fp8_residual", action="store_true",
                    help="store the squared residual in fp8 (APPROXIMATE; "
                         "see the quality gate in tests/test_models.py)")
+    p.add_argument("--no_fused_residual", action="store_true",
+                   help="disable the fused-residual blend epilogue on "
+                        "packed samples (bitwise-identical lever that "
+                        "avoids materializing the warped volume; on by "
+                        "default)")
     p.add_argument("--fp8_tables", action="store_true",
                    help="fp8-quantized warp patch tables (half the bytes on "
                         "the dominant gather stream)")
@@ -324,6 +332,7 @@ def cmd_eval(args):
             table_dtype=jnp.float8_e4m3fn if args.fp8_tables else None,
             gather_pack=args.gather_pack, table_taps=args.table_taps,
             residual_dtype=jnp.float8_e4m3fn if args.fp8_residual else None,
+            fused_residual=not args.no_fused_residual,
             feature_view_chunk=args.feat_chunk,
             mesh=mesh, pipeline_maps=args.pipeline_maps,
         ),

@@ -42,19 +42,37 @@ def _group_norm_folded(x, scale, bias, groups: int, channels: int, eps=1e-5):
     minor-C=4 tensor that TPU tiling pads 32x (observed 7.6 GB HLO temps
     at the north-star config).  Only the (N, G*C)-shaped moment vectors are
     ever reshaped to split groups.
+
+    Moments: on the bf16 perf path they are ONE-PASS (fp32 E[x], E[x^2] in
+    a single fused read of x; var = E[x^2] - E[x]^2) — each GN stage then
+    reads its 128-lane-padded input twice instead of three times, cutting
+    the omega stage's dominant HBM stream (the cost block's x's are O(1-10)
+    post-conv, so the fp32 cancellation error ~1e-5 relative sits far
+    below bf16 resolution).  fp32 inputs keep the exact two-pass form —
+    the parity contract (oracle tests run fp32).
     """
     N, H, W, GC = x.shape
     x32 = x.astype(jnp.float32)
-    # Two-pass moments: per-channel means over (H, W), then the per-group
-    # mean of those (equal counts -> exact group mean).
-    mu_c = jnp.mean(x32, axis=(1, 2))  # (N, GC)
+    if x.dtype == jnp.float32:
+        # Two-pass moments: per-channel means over (H, W), then the
+        # per-group mean of those (equal counts -> exact group mean).
+        mu_c = jnp.mean(x32, axis=(1, 2))  # (N, GC)
+        mu_g = jnp.mean(mu_c.reshape(N, groups, channels), axis=2)  # (N, G)
+        mean = jnp.repeat(mu_g, channels, axis=1)[:, None, None, :]
+        d = x32 - mean
+        var_c = jnp.mean(jnp.square(d), axis=(1, 2))  # (N, GC)
+        var_g = jnp.mean(var_c.reshape(N, groups, channels), axis=2)
+        inv = jnp.repeat(jax.lax.rsqrt(var_g + eps), channels, axis=1)
+        norm = (d * inv[:, None, None, :]).astype(x.dtype)
+        return norm * scale.astype(x.dtype) + bias.astype(x.dtype)
+    mu_c = jnp.mean(x32, axis=(1, 2))           # (N, GC)  — one fused read
+    m2_c = jnp.mean(jnp.square(x32), axis=(1, 2))
     mu_g = jnp.mean(mu_c.reshape(N, groups, channels), axis=2)  # (N, G)
-    mean = jnp.repeat(mu_g, channels, axis=1)[:, None, None, :]  # (N,1,1,GC)
-    d = x32 - mean
-    var_c = jnp.mean(jnp.square(d), axis=(1, 2))  # (N, GC)
-    var_g = jnp.mean(var_c.reshape(N, groups, channels), axis=2)  # (N, G)
+    m2_g = jnp.mean(m2_c.reshape(N, groups, channels), axis=2)
+    var_g = jnp.maximum(m2_g - jnp.square(mu_g), 0.0)
+    mean = jnp.repeat(mu_g, channels, axis=1)[:, None, None, :]
     inv = jnp.repeat(jax.lax.rsqrt(var_g + eps), channels, axis=1)
-    norm = (d * inv[:, None, None, :]).astype(x.dtype)
+    norm = ((x32 - mean) * inv[:, None, None, :]).astype(x.dtype)
     return norm * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 

@@ -167,6 +167,15 @@ class SweepConfig:
     # its elementwise chain.  Approximate (fp8 has ~2 significant digits);
     # gate with the quality tests before production use.
     residual_dtype: Any = None
+    # Fused-residual lever (packed path): compute the squared residual
+    # (and its fp8 quantization when residual_dtype is set) INSIDE the
+    # packed blend tiles, so the bf16 warped volume — ~131 GB/map of
+    # write+read HBM traffic at the north-star config, the sweep's largest
+    # non-gather stream — never materializes.  Bitwise identical to the
+    # unfused chain (the subtraction runs on the K*C-folded layout; the
+    # round-3 in-tile-residual dead end subtracted on the minor-C=32
+    # pre-fold layout, which re-introduced a 4x-padded temp).
+    fused_residual: bool = False
 
 
 def pick_depth_block(num_depth: int, target: int) -> int:
@@ -355,6 +364,7 @@ def _build_cost_block_packed(
     residual_scale: jnp.ndarray | None = None,
     residual_dtype: Any = None,
     table_taps: int = 4,
+    fused_residual: bool = False,
 ) -> jnp.ndarray:
     """Packed-row variant: ONE taps x taps-patch gather row per
     (view, pixel) serves the whole depth block.
@@ -376,6 +386,18 @@ def _build_cost_block_packed(
     conv kernel (:func:`..models.aggregation.omega_folded` ``input_scale``)
     and the variance sum fuses it into its elementwise chain.
     """
+    if fused_residual:
+        B, H, W, C = ref_feat.shape
+        residual = _warp_packed(
+            src_tables, rot_grids, transes, depth_block, table_scales,
+            ref_feat.dtype, H, W, taps=table_taps,
+            ref_flat=ref_feat.reshape(B, H * W, C),
+            residual_scale=residual_scale, residual_dtype=residual_dtype,
+        )
+        return _cost_from_residual(
+            params, residual, C, ref_feat.dtype, residual_scale,
+            residual_dtype,
+        )
     warped = _warp_packed(
         src_tables, rot_grids, transes, depth_block, table_scales,
         ref_feat.dtype, ref_feat.shape[1], ref_feat.shape[2],
@@ -389,11 +411,23 @@ def _build_cost_block_packed(
 def _warp_packed(
     src_tables, rot_grids, transes, depth_block, table_scales,
     compute_dtype, H: int, W: int, taps: int = 4,
+    ref_flat: jnp.ndarray | None = None,
+    residual_scale: jnp.ndarray | None = None,
+    residual_dtype: Any = None,
 ) -> jnp.ndarray:
     """Packed warp of ``K = depth_block.shape[1]`` hypotheses per gather
-    row; returns the folded ``(S, B, H, W, K*C)`` warped volume."""
+    row; returns the folded ``(S, B, H, W, K*C)`` warped volume.
+
+    When ``ref_flat`` (``(B, H*W, C)`` reference features) is given, the
+    blend tiles emit the (optionally fp8-quantized) SQUARED RESIDUAL
+    instead — the warped volume never materializes in HBM
+    (``SweepConfig.fused_residual``; bitwise identical to the unfused
+    subtract/square/quantize chain in :func:`_cost_from_warped`)."""
     S, B, HW, CT = src_tables.shape
     K = depth_block.shape[1]
+    inv_scale = None
+    if ref_flat is not None and residual_scale is not None:
+        inv_scale = 1.0 / residual_scale  # fp32; cast in the tile epilogue
 
     def warp_one_view(table, rot_grid, trans, scale):
         x, y = plane_sweep_xy(rot_grid, trans, depth_block)  # (B, K, H*W)
@@ -401,7 +435,9 @@ def _warp_packed(
         yg = y.transpose(0, 2, 1)
         out = patch_bilinear_sample_packed(
             table, xg, yg, H, W, scale=scale, compute_dtype=compute_dtype,
-            folded_out=True, taps=taps,
+            folded_out=True, taps=taps, ref=ref_flat,
+            residual_inv_scale=inv_scale,
+            residual_dtype=residual_dtype if ref_flat is not None else None,
         )  # (B, H*W, K*C) — folded layout straight out of the tile blend
         return out.reshape(B, H, W, -1)
 
@@ -434,10 +470,29 @@ def _cost_from_warped(
         inv = (1.0 / residual_scale).astype(ref_feat.dtype)
         residual_sq = (residual_sq * jnp.tile(inv, (Db,))).astype(residual_dtype)
 
+    return _cost_from_residual(
+        params, residual_sq, C, ref_feat.dtype, residual_scale, residual_dtype
+    )
+
+
+def _cost_from_residual(
+    params,
+    residual_sq: jnp.ndarray,
+    C: int,
+    compute_dtype,
+    residual_scale: jnp.ndarray | None = None,
+    residual_dtype: Any = None,
+) -> jnp.ndarray:
+    """Omega reweight + view-mean variance on a folded (and possibly
+    fp8-quantized) ``(S, B, H, W, Db*C)`` squared residual ->
+    ``(Db, B, H, W, C)`` cost."""
+    S, B, H, W, DbC = residual_sq.shape
+    Db = DbC // C
+
     flat = residual_sq.transpose(1, 0, 2, 3, 4).reshape(B * S, H, W, Db * C)
     if residual_dtype is not None:
         weights = omega_folded(
-            params["params"]["omega"], flat.astype(ref_feat.dtype), Db,
+            params["params"]["omega"], flat.astype(compute_dtype), Db,
             input_scale=residual_scale,
         )
     else:
@@ -446,7 +501,7 @@ def _cost_from_warped(
 
     r6 = residual_sq.reshape(S, B, H, W, Db, C)
     if residual_dtype is not None:
-        r6 = r6.astype(ref_feat.dtype) * residual_scale.astype(ref_feat.dtype)
+        r6 = r6.astype(compute_dtype) * residual_scale.astype(compute_dtype)
     variance = jnp.sum((weights[..., None] + 1.0) * r6, axis=0) / S
     return -variance.transpose(3, 0, 1, 2, 4)  # (Db, B, H, W, C)
 
@@ -571,6 +626,8 @@ def sweep(
     pack = config.gather_pack if config.packed_rows else 1
     if config.gather_pack > 1 and not config.packed_rows:
         raise ValueError("gather_pack > 1 requires packed_rows")
+    if config.fused_residual and not config.packed_rows:
+        raise ValueError("fused_residual requires packed_rows")
     if pack > 1 and view_parallel:
         raise ValueError("gather_pack > 1 is not supported on a view-sharded mesh")
     if D % (block * pack):
@@ -612,6 +669,7 @@ def sweep(
             _build_cost_block_packed, table_taps=config.table_taps,
             residual_scale=residual_scale,
             residual_dtype=config.residual_dtype,
+            fused_residual=config.fused_residual,
         )
     elif config.fold_omega == "hybrid":
         build = functools.partial(_build_cost_block, hybrid_omega=True)
@@ -694,18 +752,34 @@ def sweep(
 
         # One packed gather for the whole super block; each sub-block
         # slices its folded (..., block*C) columns (k-major layout).
-        warped_super = _warp_packed(
-            src_tables, rot_grids, transes, depth_super, table_scales,
-            dtype, H, W, taps=config.table_taps,
-        )  # (S, B, H, W, pack*block*C)
+        if config.fused_residual:
+            warped_super = _warp_packed(
+                src_tables, rot_grids, transes, depth_super, table_scales,
+                dtype, H, W, taps=config.table_taps,
+                ref_flat=ref_feat.reshape(B, H * W, C),
+                residual_scale=residual_scale,
+                residual_dtype=config.residual_dtype,
+            )  # (S, B, H, W, pack*block*C) squared residual
+        else:
+            warped_super = _warp_packed(
+                src_tables, rot_grids, transes, depth_super, table_scales,
+                dtype, H, W, taps=config.table_taps,
+            )  # (S, B, H, W, pack*block*C)
         ys_list = []
         for i in range(pack):
             w_i = jax.lax.slice_in_dim(
                 warped_super, i * block * C, (i + 1) * block * C, axis=4
             )
-            cost_block = _cost_from_warped(
-                params, ref_feat, w_i, residual_scale, config.residual_dtype
-            )
+            if config.fused_residual:
+                cost_block = _cost_from_residual(
+                    params, w_i, C, dtype, residual_scale,
+                    config.residual_dtype,
+                )
+            else:
+                cost_block = _cost_from_warped(
+                    params, ref_feat, w_i, residual_scale,
+                    config.residual_dtype,
+                )
             dvals = jax.lax.slice_in_dim(
                 depth_super, i * block, (i + 1) * block, axis=1
             )

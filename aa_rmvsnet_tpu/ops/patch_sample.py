@@ -242,6 +242,9 @@ def patch_bilinear_sample_packed(
     folded_out: bool = False,
     tile_target_bytes: int | None = None,
     taps: int = 4,
+    ref: jnp.ndarray | None = None,
+    residual_inv_scale: jnp.ndarray | None = None,
+    residual_dtype=None,
 ) -> jnp.ndarray:
     """Bilinear-sample K grouped coordinates per ONE ``taps x taps``-patch
     gather row.
@@ -257,6 +260,20 @@ def patch_bilinear_sample_packed(
       folded_out: return ``(B, G, K*C)`` (the depth-folded layout the cost
         build consumes, minor axis ``K*C`` lanes — no padding for K*C a
         multiple of 128/dtype-tile) instead of ``(B, G, K, C)``.
+      ref: optional ``(B, G, C)`` reference features per group (in the
+        sweep: the reference-view feature at the group's pixel).  When
+        given, the tile emits the **squared residual** ``(blend - ref)**2``
+        instead of the raw samples — the full-frame warped volume then
+        never exists in HBM (at the north-star config it is ~131 GB/map of
+        write+read traffic, the sweep's largest non-gather stream).  The
+        subtraction runs on the K*C-folded layout (no padded minor-C temp —
+        the round-3 in-tile-residual dead end subtracted BEFORE folding).
+        Requires ``folded_out=True``.
+      residual_inv_scale: optional ``(C,)`` inverse quantization scale for
+        the residual (``1 / SweepConfig residual scale``), applied in
+        ``compute_dtype`` exactly like the unfused path.
+      residual_dtype: optional storage dtype for the emitted residual
+        (e.g. fp8); applied after ``residual_inv_scale``.
 
     Returns:
       ``(B, G, K, C)`` samples (``(B, G, K*C)`` when ``folded_out``).
@@ -286,6 +303,8 @@ def patch_bilinear_sample_packed(
     T = taps
     C = CT // (T * T)
     out_dtype = compute_dtype or table.dtype
+    if ref is not None and not folded_out:
+        raise ValueError("ref (fused residual) requires folded_out=True")
 
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
@@ -295,9 +314,17 @@ def patch_bilinear_sample_packed(
     num_tiles = G // gt
     tap_pos = jnp.arange(float(T))
     tent = lambda d: jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    inv_kc = (
+        None if residual_inv_scale is None
+        else jnp.tile(residual_inv_scale.astype(out_dtype), (K,))
+    )
 
     def blend_tile(args):
-        xt, yt = args  # (B, gt, K)
+        if ref is None:
+            xt, yt = args  # (B, gt, K)
+            rt = None
+        else:
+            xt, yt, rt = args  # rt: (B, gt, C)
         # Group anchor: min floor, clipped into the image like the 2x2
         # path — every clamping case again falls out of zero-padding +
         # tent weights.
@@ -325,15 +352,29 @@ def patch_bilinear_sample_packed(
         )
         # Fold (K, C) -> K*C inside the tile: the stacked full-frame result
         # then never exists in a 32-lane-minor layout.
-        return out.reshape(B, gt, K * C)
+        out = out.reshape(B, gt, K * C)
+        if rt is not None:
+            # Fused residual epilogue on the folded layout — same op order
+            # as the unfused path (subtract, square, inv-scale multiply in
+            # compute dtype, cast), so results are bitwise identical.
+            out = (out - jnp.tile(rt.astype(out_dtype), (1, 1, K))) ** 2
+            if inv_kc is not None:
+                out = out * inv_kc
+            if residual_dtype is not None:
+                out = out.astype(residual_dtype)
+        return out
 
     if num_tiles == 1:
-        out = blend_tile((x, y))
+        out = blend_tile((x, y) if ref is None else (x, y, ref))
     else:
         xs = (
             x.reshape(B, num_tiles, gt, K).transpose(1, 0, 2, 3),
             y.reshape(B, num_tiles, gt, K).transpose(1, 0, 2, 3),
         )
+        if ref is not None:
+            xs = xs + (
+                ref.reshape(B, num_tiles, gt, C).transpose(1, 0, 2, 3),
+            )
         out = jax.lax.map(blend_tile, xs)  # (T, B, gt, K*C)
         out = out.transpose(1, 0, 2, 3).reshape(B, G, K * C)
     return out if folded_out else out.reshape(B, G, K, C)

@@ -61,6 +61,9 @@ class InferConfig:
     gather_pack: int = 1
     table_taps: int = 4
     residual_dtype: Any = None  # e.g. jnp.float8_e4m3fn (approximate!)
+    # Fused-residual blend epilogue (SweepConfig.fused_residual): bitwise
+    # identical to the unfused chain on packed samples; no-op elsewhere.
+    fused_residual: bool = True
     pack_margin: float = 0.95
     # FeatNet view chunking (0 = all views at once): bounds feature
     # extraction's peak HBM at big sizes (SweepConfig.feature_view_chunk).
@@ -90,6 +93,20 @@ class InferConfig:
 def _jitted_forward(config: InferConfig, with_volume: bool,
                     mode=(False, 1, 4)):
     packed, gather_pack, table_taps = mode
+    # fp8 residual storage applies on the folded cost layouts: packed rows
+    # OR fold_omega=True (the minimum-peak-HBM recipe for sizes where
+    # packed tables don't fit) — a sample degraded to the unpacked path
+    # keeps the lever when fold_omega=True instead of silently dropping it
+    # (ADVICE r4).
+    residual_dtype = (
+        config.residual_dtype if (packed or config.fold_omega is True)
+        else None
+    )
+    if config.residual_dtype is not None and residual_dtype is None:
+        print(
+            "WARNING: fp8 residual storage dropped for an unpacked sample "
+            "(requires packed rows or --fold_omega=1)", flush=True,
+        )
     sweep_config = SweepConfig(
         depth_block=config.depth_block,
         collect_volume=with_volume,
@@ -100,7 +117,8 @@ def _jitted_forward(config: InferConfig, with_volume: bool,
         packed_rows=packed,
         gather_pack=gather_pack if packed else 1,
         table_taps=table_taps if packed else 4,
-        residual_dtype=config.residual_dtype if packed else None,
+        residual_dtype=residual_dtype,
+        fused_residual=config.fused_residual and packed,
         feature_view_chunk=config.feature_view_chunk,
     )
 
@@ -145,6 +163,46 @@ def save_outputs(out_dir: str, ref_view: int, depth: np.ndarray, confidence: np.
                 )
 
 
+def resolve_packed_mode(sample, config: InferConfig):
+    """Resolve the packed-execution mode ``(packed, gather_pack, taps)``
+    for one sample: the requested lever set where its exactness gate (and
+    the depth-count divisibility the sweep requires) passes, degrading
+    through plain-packed at the SAME window size (a (2, 4] px span fails
+    the super-pack gate but still earns the 6x6 packed speedup, ADVICE
+    r4), then plain packed 4x4, then the exact per-depth path.
+    ``(gather_pack, 4)`` is provably redundant in the chain: its gate is
+    strictly tighter than the already-failed ``(gather_pack, 6)`` one.
+    ``packed_rows=True`` forces the packed PATH but the super-pack levers
+    stay gated (an ungated gather_pack silently loses bilinear taps —
+    patch_sample.py exactness contract)."""
+    from ..models.network import pick_depth_block, pick_packed_rows
+
+    H, W = sample["imgs"].shape[1:3]
+    D = sample["depth_values"].shape[-1]
+    block = pick_depth_block(D, config.depth_block)
+
+    def gate(gp, taps):
+        return D % (block * gp) == 0 and pick_packed_rows(
+            sample["proj_matrices"], sample["depth_values"], H, W,
+            block * gp, margin=config.pack_margin, taps=taps,
+        )
+
+    modes = [(config.gather_pack, config.table_taps)]
+    for fallback in ((1, config.table_taps), (1, 4)):
+        if fallback not in modes:
+            modes.append(fallback)
+    if config.packed_rows != "auto":
+        if not config.packed_rows:
+            return (False, 1, 4)
+        for gp, taps in modes:
+            if (gp, taps) == (1, 4) or gate(gp, taps):
+                return (True, gp, taps)
+    for gp, taps in modes:
+        if gate(gp, taps):
+            return (True, gp, taps)
+    return (False, 1, 4)
+
+
 def run_inference(
     params,
     dataset,
@@ -174,38 +232,8 @@ def run_inference(
         return _runs[mode]
 
     def resolve_packed(sample):
-        """Resolve the packed-execution mode (packed, gather_pack, taps)
-        for one sample: the requested lever set where its exactness gate
-        (and the depth-count divisibility the sweep requires) passes,
-        degrading to plain packed (pack=1, 4x4) and then to the exact
-        per-depth path.  ``packed_rows=True`` forces the packed PATH but
-        the super-pack levers stay gated (an ungated gather_pack silently
-        loses bilinear taps — patch_sample.py exactness contract)."""
-        from ..models.network import pick_depth_block, pick_packed_rows
+        return resolve_packed_mode(sample, config)
 
-        H, W = sample["imgs"].shape[1:3]
-        D = sample["depth_values"].shape[-1]
-        block = pick_depth_block(D, config.depth_block)
-
-        def gate(gp, taps):
-            return D % (block * gp) == 0 and pick_packed_rows(
-                sample["proj_matrices"], sample["depth_values"], H, W,
-                block * gp, margin=config.pack_margin, taps=taps,
-            )
-
-        modes = [(config.gather_pack, config.table_taps)]
-        if modes[0] != (1, 4):
-            modes.append((1, 4))
-        if config.packed_rows != "auto":
-            if not config.packed_rows:
-                return (False, 1, 4)
-            for gp, taps in modes:
-                if (gp, taps) == (1, 4) or gate(gp, taps):
-                    return (True, gp, taps)
-        for gp, taps in modes:
-            if gate(gp, taps):
-                return (True, gp, taps)
-        return (False, 1, 4)
     evidential_apply = None
     if need_volume:
         from ..models.evidential import make_evidential_apply

@@ -149,12 +149,19 @@ def derive_depth_block(
     nviews: int,
     ndepths: int = 512,
     budget: float = HBM_BUDGET_BYTES,
-    candidates: tuple = (16, 8, 4, 2, 1),
+    candidates: tuple = (8, 4, 2, 1),
     **kwargs,
 ) -> int:
     """Largest depth_block whose :func:`sweep_hbm_bytes` estimate fits the
     per-chip budget (VERDICT r3 item 4: preset defaults from an HBM
-    estimate, not a docstring guess)."""
+    estimate, not a docstring guess).
+
+    Candidates cap at 8: depth_block=16 is a MEASURED dead end on the
+    target chip (the packed block-16 program SIGKILLs the remote compile
+    helper, BENCHMARKS.md round-4) — the estimate models HBM only, not
+    that compile-size failure mode, so 16 must not be auto-selectable
+    (ADVICE r4).  ``gather_pack`` reaches block-16's gather-row count with
+    the proven block-8 program instead."""
     for db in candidates:
         if ndepths % db:
             continue

@@ -95,6 +95,18 @@ V100_BASELINE_MAPS_PER_S = 0.10
 # without re-deriving the hardware argument.
 MEASURED_PEAK_FLOPS = 2.9e12  # chained 2048^3 bf16 matmuls
 MEASURED_PEAK_BYTES = 115e9  # elementwise copy chain (read+write)
+# Conv-effective compute ceiling: the bare ConvLSTM U-Net scan sustains
+# 2.81 ms/step at 432x576/D128 bf16 = ~9.3 TFLOPS (scripts/
+# probe_lstm_layout.py, BENCHMARKS.md round-4) — 3.2x the chained-matmul
+# microbench.  The sweep is ~85% conv FLOPs, so THIS is the honest compute
+# ceiling for the roofline/mfu accounting (the 2.9 TFLOPS figure flattered
+# the pipeline by ~3x, VERDICT r4 weak item 1).
+MEASURED_CONV_FLOPS = 9.3e12
+# FeatNet is deformable-gather-bound, not conv-bound: ~58.8 M 128-lane
+# patch rows for 5 views at the north-star config measured ~1.1 s
+# (round-3 stage timing) -> ~53 Mrows/s effective (deform taps have more
+# locality than the random-row microbench's 38.2 Mrows/s).
+MEASURED_DEFORM_ROWS_PER_S = 53e6
 # This chip's gathers are ROW-RATE limited, not byte limited: 128-lane rows
 # issue at ~38 Mrows/s (~10 GB/s) regardless of row bytes
 # (scripts/profile_stages.py microbench).  The warp gather needs one row
@@ -352,6 +364,13 @@ def main():
         gather_pack=gather_pack if packed_rows else 1,
         table_taps=table_taps,
         feature_view_chunk=int(os.environ.get("BENCH_FEAT_CHUNK", 0)),
+        # Round-5 lever: compute the squared residual inside the packed
+        # blend tiles so the bf16 warped volume (~131 GB/map of write+read
+        # at the north-star config) never materializes.  Bitwise identical
+        # (tests/test_models.py::test_fused_residual_matches_unfused).
+        fused_residual=(
+            os.environ.get("BENCH_FUSED_RESIDUAL", "1") == "1" and packed_rows
+        ),
     )
 
     @jax.jit
@@ -402,12 +421,26 @@ def main():
             "fp8_residual": config.residual_dtype is not None,
             "gather_pack": config.gather_pack,
             "table_taps": table_taps,
+            "fused_residual": config.fused_residual,
         },
     }
+    # ---- Per-stage roofline budget (VERDICT r4 item 1) -----------------
+    # Each stage's ideal time is computed against ITS OWN measured ceiling
+    # (gather row rate for the warp, the ~9.3 TFLOPS conv-effective ceiling
+    # for LSTM/omega compute, the 115 GB/s copy ceiling for the cost
+    # block's stream traffic) and the budget is reported per stage, so the
+    # attackable remainder is visible instead of hidden behind a single
+    # too-low compute ceiling (the r4 JSON's 2.9 TFLOPS "0.758
+    # compute-bound" flattered the pipeline ~3x).  ``roofline_fraction`` =
+    # sum(stage ideals) / dt — stages are modeled non-overlapping, which
+    # matches how XLA serializes these dependent dispatches.
+    S = V - 1
+    px = H * W
+    macs = _macs_per_px(params)
+
     # One warp-gather row per (src-view, depth, pixel) — or per
-    # (src-view, depth-block, pixel) in packed mode: the binding resource
-    # on this chip (see MEASURED_GATHER_ROWS_PER_S).
-    gather_rows = (V - 1) * D * H * W
+    # (src-view, super-block, pixel) in packed mode.
+    gather_rows = S * D * px
     row_rate = MEASURED_GATHER_ROWS_PER_S
     row_bytes = 4 * 32 * (1 if table_dtype is not None else jnp.dtype(dtype).itemsize)
     if packed_rows:
@@ -418,60 +451,137 @@ def main():
         )
         row_bytes *= table_taps * table_taps // 4
     t_gather = gather_rows / row_rate
+
+    # FeatNet: deformable-gather-bound (9 taps per pixel at 3 pyramid
+    # scales -> ~11.8 patch rows/px/view), not conv-bound.
+    t_feat = 9 * (1 + 0.25 + 0.0625) * px * V / MEASURED_DEFORM_ROWS_PER_S
+
+    # ConvLSTM U-Net: compute-bound at the conv-effective ceiling (the
+    # layout probe showed NHWC==NCHW at ~9.3 TFLOPS — no layout lever).
+    lstm_flops = 2 * macs["cost_regularization"] * px * D
+    t_lstm = lstm_flops / MEASURED_CONV_FLOPS
+
+    # Omega: the folded/packed paths run it as block-diagonal DENSE convs,
+    # so G = depth_block x the semantic FLOPs actually execute (the
+    # measured-cheapest form, models/aggregation.py).  The budget charges
+    # the EXECUTED FLOPs at the conv ceiling.
+    omega_sem = 2 * macs["omega"] * px * S * D
+    omega_exec = omega_sem * (block if (packed_rows or fold_omega) else 1)
+    t_omega = omega_exec / MEASURED_CONV_FLOPS
+
+    # Cost-block stream traffic (everything HBM-bound outside the gather),
+    # enumerated at TPU-padded sizes:
+    fi = jnp.dtype(dtype).itemsize
+    ri = 1 if config.residual_dtype is not None else fi
+    folded = packed_rows or fold_omega is True
+    # squared residual: written once, read twice (omega conv + variance).
+    stream = 3 * px * S * D * 32 * ri * (1 if folded else 4)
+    if not config.fused_residual:
+        # bf16 warped volume written by the blend and re-read by the
+        # residual chain (the fused_residual lever removes this stream).
+        stream += 2 * px * S * D * 32 * fi * (1 if folded else 4)
+    # omega intermediates: ~9 materialization passes of (N, H, W, G*4)
+    # tensors whose minor axis pads to 128 lanes (4x at G=8; 32x per-depth
+    # when unfolded), plus the (N, H, W, G) weight maps (~2 passes).
+    sub_blocks = D // block if folded else D
+    stream += 11 * px * S * 128 * fi * sub_blocks
+    # cost slices: written by the variance, read by the LSTM.
+    stream += 2 * px * D * 32 * fi
+    t_streams = stream / MEASURED_PEAK_BYTES
+
+    stage_budget = {
+        "featnet": t_feat, "gather": t_gather, "lstm": t_lstm,
+        "omega": t_omega, "cost_streams": t_streams,
+    }
+    t_ideal = sum(stage_budget.values())
+    flops_sem = lstm_flops + omega_sem + 200 * px * S * D + 2 * macs["feature"] * px * V
     record.update(
         gather_mrows=round(gather_rows / 1e6, 3),
         gather_roofline_fraction=round(t_gather / dt, 3),
-    )
-    if flops is None:
-        # Analytic model (MAC=2 FLOP): per-module MAC counts derived from
-        # the parameter tree's kernel shapes x architecture area factors
-        # (_macs_per_px; at the shipped widths: ConvLSTM U-Net ~48.0k
-        # MAC/px/step, omega ~1.2k per (src,depth), FeatNet ~31.7k per
-        # view), plus ~200 FLOP/px per (src,depth) of residual/variance/
-        # blend elementwise.  Bytes: warp-table gather rows + ~64 B/px/step
-        # LSTM state traffic.  Tagged "analytic" so the JSON distinguishes
-        # it from XLA cost analysis (BENCH_COST_ANALYSIS=1); XLA's own
-        # analysis counts scan bodies ONCE (trip counts ignored), so it
-        # cannot replace this for a D-step sweep.
-        S = V - 1
-        px = H * W
-        macs = _macs_per_px(params)
-        flops = (
-            2 * (macs["cost_regularization"] * px * D)
-            + 2 * (macs["omega"] * px * S * D)
-            + 200 * px * S * D
-            + 2 * (macs["feature"] * px * V)
-        )
-        byts = float(gather_rows * row_bytes + 64 * px * D)
-        record["cost_model"] = "analytic"
-        # The packed/folded paths run omega as block-diagonal DENSE convs —
-        # G = depth_block x the semantic FLOPs actually execute (the
-        # measured-cheapest way to avoid the 32x lane-padded streams,
-        # models/aggregation.py).  Reported separately so the semantic
-        # roofline below stays conservative while the executed work is
-        # visible.
-        if packed_rows or fold_omega:
-            waste = 2 * (macs["omega"] * px * S * D) * (block - 1)
-            record["tflops_executed"] = round((flops + waste) / 1e12, 2)
-    else:
-        record["cost_model"] = "xla"
-    t_ideal = max(
-        flops / MEASURED_PEAK_FLOPS, byts / MEASURED_PEAK_BYTES, t_gather
-    )
-    record.update(
-        tflops=round(flops / 1e12, 2),
-        gbytes=round(byts / 1e9, 2),
-        bound=(
-            "gather-rows"
-            if t_gather >= max(flops / MEASURED_PEAK_FLOPS, byts / MEASURED_PEAK_BYTES)
-            else "bandwidth"
-            if byts / MEASURED_PEAK_BYTES > flops / MEASURED_PEAK_FLOPS
-            else "compute"
-        ),
+        stage_budget_s={k: round(v, 2) for k, v in stage_budget.items()},
+        stage_budget_model="analytic; per-stage ceilings: gather row-rate "
+        f"{row_rate / 1e6:.1f} Mrows/s, conv {MEASURED_CONV_FLOPS / 1e12:.1f} "
+        f"TFLOPS, copy {MEASURED_PEAK_BYTES / 1e9:.0f} GB/s; validate with "
+        "BENCH_STAGES=1",
+        cost_model="analytic" if flops is None else "xla",
+        tflops=round(flops_sem / 1e12, 2),
+        tflops_executed=round((flops_sem + omega_exec - omega_sem) / 1e12, 2),
+        gbytes=round((stream + gather_rows * row_bytes) / 1e9, 2),
+        bound=max(stage_budget, key=stage_budget.get),
         roofline_fraction=round(t_ideal / dt, 3),
-        mfu=round(flops / (dt * MEASURED_PEAK_FLOPS), 4),
+        mfu=round(flops_sem / (dt * MEASURED_CONV_FLOPS), 4),
     )
+    if flops is not None:
+        record["xla_tflops"] = round(flops / 1e12, 2)
+        record["xla_gbytes"] = round(byts / 1e9, 2)
+
+    if os.environ.get("BENCH_STAGES") == "1":
+        record["stage_measured_s"] = _measure_stages(
+            jax, jnp, params, args, config, cfg, t_gather, t_omega
+        )
     print(json.dumps(record))
+
+
+def _measure_stages(jax, jnp, params, fwd_args, config, cfg, t_gather, t_omega):
+    """Stage-isolated dispatch timings validating the analytic budget
+    (extra compiles — interactive use, not the driver default).  Returns
+    measured {featnet, lstm, cost_block_total, cost_streams_derived} where
+    cost_streams_derived = cost_block_total - analytic gather - analytic
+    omega compute."""
+    import time as _t
+
+    import numpy as _np
+
+    from aa_rmvsnet_tpu.models.network import (
+        _build_cost_block_packed, extract_features, sweep,
+    )
+    from aa_rmvsnet_tpu.models.regularizer import UNetConvLSTM, init_states
+
+    H, W, D, V = cfg["H"], cfg["W"], cfg["D"], cfg["V"]
+    params_c, imgs, proj, depths = fwd_args
+    dtype = config.feature_dtype
+
+    def timeit(fn, *a, iters=2):
+        fetch = lambda o: float(jax.tree.leaves(o)[0].ravel()[0])
+        fetch(fn(*a))
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            fetch(fn(*a))
+        return (_t.perf_counter() - t0) / iters
+
+    out = {}
+    feat_fn = jax.jit(lambda p, im: extract_features(p, im, dtype))
+    out["featnet"] = round(timeit(feat_fn, params_c, imgs), 2)
+
+    cell = UNetConvLSTM()
+    p16 = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params_c
+    )
+    reg_params = {"params": p16["params"]["cost_regularization"]}
+    x0 = jnp.zeros((1, H, W, 32), dtype)
+
+    @jax.jit
+    def scan_fn(rp, x, states):
+        def step(carry, _):
+            cost, st = cell.apply(rp, x, carry)
+            return st, cost
+        _, costs = jax.lax.scan(step, states, None, length=D)
+        return costs
+
+    out["lstm"] = round(timeit(scan_fn, reg_params, x0,
+                               init_states(1, H, W, dtype), iters=1), 2)
+
+    # Whole sweep minus FeatNet: cost blocks + LSTM together (the sweep
+    # shares buffers across the scan; an isolated cost block can OOM where
+    # the sweep does not, so derive streams from (sweep - lstm) instead).
+    sweep_fn = jax.jit(lambda p, f, pr, d: sweep(p, f, pr, d, config))
+    feats = feat_fn(params_c, imgs)
+    out["sweep_no_feat"] = round(timeit(sweep_fn, params_c, feats, proj,
+                                        depths, iters=1), 2)
+    out["cost_streams_derived"] = round(
+        out["sweep_no_feat"] - out["lstm"] - t_gather - t_omega, 2
+    )
+    return out
 
 
 if __name__ == "__main__":

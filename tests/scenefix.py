@@ -97,6 +97,34 @@ def make_plane_scene(
     return scene, gt_depth, K, extrinsics
 
 
+def look_at_extrinsics(positions, target, num_views=None):
+    """World->cam extrinsics for cameras at ``positions`` all oriented at
+    ``target`` — the DTU-style rotating rig (rotation-dominant
+    homographies; reference models/module.py:16-32 exercises the full
+    R_src.R_ref^-1 path).
+
+    Camera convention matches the renderer: x right, y down, z forward
+    (right-handed).  The rotation between two cameras equals the angle
+    between their view directions — e.g. positions on an arc of radius r
+    spanning +-theta around the target give +-theta relative rotations.
+    """
+    target = np.asarray(target, np.float64)
+    Es = []
+    for C in positions:
+        C = np.asarray(C, np.float64)
+        z = target - C
+        z = z / np.linalg.norm(z)
+        x = np.cross([0.0, 1.0, 0.0], z)  # y-down convention
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_cw = np.stack([x, y, z], axis=1)  # cam -> world (columns = axes)
+        E = np.eye(4, dtype=np.float64)
+        E[:3, :3] = R_cw.T
+        E[:3, 3] = -R_cw.T @ C
+        Es.append(E.astype(np.float32))
+    return Es
+
+
 def make_multiplane_scene(
     root,
     planes,
@@ -112,6 +140,8 @@ def make_multiplane_scene(
     dnum: int = 192,
     dend: float = 935.0,
     seed: int = 0,
+    extrinsics=None,
+    principal_offset=(0.0, 0.0),
 ):
     """Ray-cast renderer for a family of textured world-space planes — the
     hard-mode quality fixtures (occlusion, slant, high-frequency texture)
@@ -125,10 +155,14 @@ def make_multiplane_scene(
       ``sigma``: texture Gaussian-blur sigma in ref-view pixels (0 = raw
         high-frequency noise).
 
-    World frame = camera 0; cameras translate along +x by ``baseline``
-    (same convention as :func:`make_plane_scene`).  Per view, every pixel
-    ray is intersected with every plane in closed form; the NEAREST valid
-    hit wins — real occlusion, exact GT.
+    Cameras: by default world frame = camera 0 and cameras translate along
+    +x by ``baseline`` (same convention as :func:`make_plane_scene`); pass
+    ``extrinsics`` (a list of world->cam 4x4s, e.g. from
+    :func:`look_at_extrinsics`) for rotating / mixed-baseline rigs.
+    ``principal_offset=(dx, dy)`` shifts the principal point off center
+    (the non-centered crops real eval produces, preprocess.py:41-73).
+    Per view, every pixel ray is intersected with every plane in closed
+    form; the NEAREST valid hit wins — real occlusion, exact GT.
 
     Returns ``(scene_dir, gt_depths, K, extrinsics)`` where ``gt_depths``
     is a list of per-view (H, W) depth maps (0 where no plane is hit).
@@ -138,9 +172,15 @@ def make_multiplane_scene(
     os.makedirs(os.path.join(scene, "images"), exist_ok=True)
     os.makedirs(os.path.join(scene, "cams"), exist_ok=True)
 
-    cx, cy, f = W / 2.0, H / 2.0, focal
+    cx = W / 2.0 + principal_offset[0]
+    cy = H / 2.0 + principal_offset[1]
+    f = focal
     xs = np.arange(W, dtype=np.float64)[None, :].repeat(H, 0)
     ys = np.arange(H, dtype=np.float64)[:, None].repeat(W, 1)
+    # Pixel rays in camera coords (z = 1): one (H, W, 3) bundle.
+    dir_cam = np.stack(
+        [(xs - cx) / f, (ys - cy) / f, np.ones_like(xs)], axis=-1
+    )
 
     # Per-plane textures, sized so one texel ~ half a ref-view pixel.
     textures = []
@@ -157,25 +197,37 @@ def make_multiplane_scene(
             tex = (tex - lo) / max(hi - lo, 1e-6) * 255.0
         textures.append(tex)
 
+    if extrinsics is None:
+        extrinsics = []
+        for v in range(num_views):
+            E = np.eye(4, dtype=np.float32)
+            E[0, 3] = -v * baseline  # world -> cam: X_cam = X_w - v*b
+            extrinsics.append(E)
+    else:
+        extrinsics = [np.asarray(E, np.float32) for E in extrinsics]
+        assert len(extrinsics) == num_views
+
     K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]], np.float32)
-    extrinsics, gt_depths = [], []
-    for v in range(num_views):
-        E = np.eye(4, dtype=np.float32)
-        E[0, 3] = -v * baseline  # world -> cam: X_cam = X_w - v*b
-        extrinsics.append(E)
+    gt_depths = []
+    for v, E in enumerate(extrinsics):
+        E64 = E.astype(np.float64)
+        R_cw = E64[:3, :3].T                      # cam -> world
+        C = -R_cw @ E64[:3, 3]                    # camera center in world
+        dir_w = dir_cam @ R_cw.T                  # (H, W, 3) world rays
 
         depth = np.full((H, W), np.inf)
         img = np.zeros((H, W, 3), np.float32)
         for plane, tex in zip(planes, textures):
             z0, gx, gy = plane["z0"], plane.get("gx", 0.0), plane.get("gy", 0.0)
             x0, x1, y0, y1 = plane["extent"]
-            # Ray through pixel: X_cam = d*(x-cx)/f, Z = d; plane
-            # Z = z0 + gx*X_w + gy*Y_w with X_w = X_cam + v*b.
-            denom = 1.0 - gx * (xs - cx) / f - gy * (ys - cy) / f
+            # Plane Z_w = z0 + gx*X_w + gy*Y_w  <=>  n . X_w = z0 with
+            # n = (-gx, -gy, 1).  Ray X_w = C + t*dir_w; camera depth = t
+            # (dir_cam has unit z).
+            n = np.array([-gx, -gy, 1.0])
             with np.errstate(divide="ignore", invalid="ignore"):
-                d = (z0 + gx * v * baseline) / denom
-            Xw = d * (xs - cx) / f + v * baseline
-            Yw = d * (ys - cy) / f
+                d = (z0 - n @ C) / (dir_w @ n)
+            Xw = C[0] + d * dir_w[..., 0]
+            Yw = C[1] + d * dir_w[..., 1]
             th, tw = tex.shape[:2]
             u = (Xw - x0) / (x1 - x0) * (tw - 1)
             w_ = (Yw - y0) / (y1 - y0) * (th - 1)

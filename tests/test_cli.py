@@ -59,10 +59,12 @@ class TestHBMDerivation:
         # it runs on the chip (BENCHMARKS.md), so the estimate may not
         # exclude it.
         assert derive_depth_block(864, 1152, 5) >= 8
-        # A huge budget picks the largest divisor candidate.
-        assert derive_depth_block(864, 1152, 5, budget=1e18) == 16
-        # Divisibility: ndepths=24 cannot take block 16.
-        assert derive_depth_block(864, 1152, 5, ndepths=24, budget=1e18) == 8
+        # A huge budget picks the largest candidate — capped at 8, the
+        # proven block size: depth_block=16 is a measured compile-SIGKILL
+        # dead end the HBM estimate cannot see (ADVICE r4).
+        assert derive_depth_block(864, 1152, 5, budget=1e18) == 8
+        # Divisibility: ndepths=12 cannot take block 8.
+        assert derive_depth_block(864, 1152, 5, ndepths=12, budget=1e18) == 4
 
     def test_preset_auto_depth_block(self):
         from aa_rmvsnet_tpu.utils.config import eval_preset

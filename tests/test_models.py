@@ -179,6 +179,36 @@ def _random_scene(B=1, V=3, H=32, W=32, D=32, seed=0):
     return imgs, proj, depths
 
 
+def _rotated_scene(B=1, V=3, H=32, W=32, D=32, seed=0):
+    """Look-at rig with 15-18 deg relative rotations and mixed x/y
+    baselines: rotation-dominant homographies through the full
+    R_src.R_ref^-1 path (reference models/module.py:16-32) that the
+    +-0.05 rad `_random_scene` poses barely graze (VERDICT r4 item 2).
+    Cameras sit on an arc around a target at the sweep's center depth, so
+    the warp stays largely in-frustum (a bare 15 deg yaw at f=300 would
+    push the whole image out of bounds and make parity vacuous)."""
+    from scenefix import look_at_extrinsics
+
+    rng = np.random.RandomState(seed)
+    imgs = rng.randn(B, V, H, W, 3).astype(np.float32)
+    K = np.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]], np.float32)
+    r = 500.0
+    degs = [0.0, 15.0, -18.0]
+    y_off = [0.0, 6.0, -8.0]
+    pos = [
+        (r * np.sin(np.deg2rad(a)), y, r - r * np.cos(np.deg2rad(a)))
+        for a, y in zip(degs, y_off)
+    ]
+    projs = []
+    for E in look_at_extrinsics(pos, target=(0.0, 0.0, r)):
+        P = E.copy()
+        P[:3, :4] = K @ P[:3, :4]
+        projs.append(P)
+    proj = np.stack(projs)[None].repeat(B, 0)
+    depths = np.linspace(400, 600, D).astype(np.float32)[None].repeat(B, 0)
+    return imgs, proj, depths
+
+
 @pytest.mark.skipif(
     not (reference_available() and os.path.exists(CKPT)),
     reason="reference tree / checkpoint absent",
@@ -222,6 +252,29 @@ class TestFullNetworkParity:
         out = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
                       jnp.asarray(depths), SweepConfig(depth_block=4))
         ours = np.asarray(probability_volume(out["cost_volume"]))
+        np.testing.assert_allclose(ours, ref_prob, atol=2e-4)
+
+    def test_train_branch_parity_rotated_rig(self, oracle_model, params):
+        """Oracle parity on the look-at rig (15-18 deg relative rotations,
+        mixed x/y baselines): rotation-dominant homographies and the
+        z-guard path under real rotation (VERDICT r4 item 2)."""
+        from oracle import patch_cuda_to_cpu, torch11_grid_sample_semantics
+
+        imgs, proj, depths = _rotated_scene()
+        with patch_cuda_to_cpu(), torch11_grid_sample_semantics(), torch.no_grad():
+            ref_prob, _, _ = oracle_model(
+                torch.from_numpy(imgs).permute(0, 1, 4, 2, 3),
+                torch.from_numpy(proj),
+                torch.from_numpy(depths),
+            )
+        ref_prob = ref_prob.numpy()
+
+        out = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                      jnp.asarray(depths), SweepConfig(depth_block=4))
+        ours = np.asarray(probability_volume(out["cost_volume"]))
+        # Non-vacuous: a meaningful fraction of the warp must be in-frustum
+        # (the probability volume is not the uniform all-zero-cost case).
+        assert np.asarray(out["photometric_confidence"]).max() > 0.2
         np.testing.assert_allclose(ours, ref_prob, atol=2e-4)
 
     def test_eval_branch_depth_and_confidence(self, oracle_model, params):
@@ -610,6 +663,39 @@ class TestSweepLevers:
                     jnp.asarray(depths),
                     SweepConfig(depth_block=4,
                                 residual_dtype=jnp.float8_e4m3fn))
+
+    @pytest.mark.parametrize("pack,res_dtype", [
+        (1, None), (1, "fp8"), (2, "fp8"),
+    ])
+    def test_fused_residual_matches_unfused(self, params, pack, res_dtype):
+        """The fused-residual blend epilogue (SweepConfig.fused_residual:
+        subtract/square/quantize INSIDE the packed blend tiles, so the
+        warped volume never materializes) is bitwise identical to the
+        unfused chain — same ops in the same order on the same folded
+        layout."""
+        imgs, proj, depths = _random_scene(seed=7)
+        cfg = dict(depth_block=2 if pack > 1 else 4, packed_rows=True,
+                   gather_pack=pack)
+        if res_dtype == "fp8":
+            cfg["residual_dtype"] = jnp.float8_e4m3fn
+        base = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                       jnp.asarray(depths), SweepConfig(**cfg))
+        fused = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                        jnp.asarray(depths),
+                        SweepConfig(**cfg, fused_residual=True))
+        np.testing.assert_array_equal(
+            np.asarray(fused["cost_volume"]), np.asarray(base["cost_volume"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused["depth"]), np.asarray(base["depth"])
+        )
+
+    def test_fused_residual_requires_packed(self, params):
+        imgs, proj, depths = _random_scene(seed=9)
+        with pytest.raises(ValueError, match="packed_rows"):
+            forward(params, jnp.asarray(imgs), jnp.asarray(proj),
+                    jnp.asarray(depths),
+                    SweepConfig(depth_block=4, fused_residual=True))
 
     def test_pick_packed_rows_rejects_coarse_sweep(self):
         """A sweep whose per-step displacement is large must be rejected."""

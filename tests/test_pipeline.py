@@ -342,6 +342,50 @@ class TestInferencePackedLevers:
                 os.path.join(out_root, "scan1/depth_est_0/00000000.pfm"))[0]
         np.testing.assert_allclose(outs["packed"], outs["base"], atol=1e-3)
 
+    def test_degrade_chain_keeps_same_window_plain_packed(self):
+        """A sample whose SUPER-pack gate fails but whose plain-packed
+        span still fits the 6x6 window must resolve to (True, 1, 6) — not
+        fall through to 4x4 or the exact per-depth path (ADVICE r4)."""
+        import jax.numpy as jnp
+
+        from aa_rmvsnet_tpu.models.network import pick_packed_rows
+        from aa_rmvsnet_tpu.pipeline.infer import (
+            InferConfig, resolve_packed_mode,
+        )
+
+        H, W, D, block, pack = 64, 96, 16, 4, 2
+        K = np.array([[400.0, 0, W / 2], [0, 400.0, H / 2], [0, 0, 1]],
+                     np.float32)
+        depths = np.linspace(425.0, 935.0, D).astype(np.float32)
+        proj = np.stack([np.eye(4, dtype=np.float32) for _ in range(3)])
+        for v in range(3):
+            proj[v, 0, 3] = v * 4.0
+            proj[v, :3, :4] = K @ proj[v, :3, :4]
+        # Widen baselines until the K=8 super span is in (2, 4] px but the
+        # plain K=4 span still fits the 6x6 window.
+        for mult in (2.0, 3.0, 4.0, 6.0, 8.0, 12.0, 16.0, 24.0):
+            p_try = proj.copy()
+            p_try[1:, :3, 3] *= mult
+            if (not pick_packed_rows(p_try, depths, H, W, block * pack,
+                                     taps=6)
+                    and pick_packed_rows(p_try, depths, H, W, block,
+                                         taps=6)
+                    and not pick_packed_rows(p_try, depths, H, W, block,
+                                             taps=4)):
+                proj = p_try
+                break
+        else:
+            pytest.fail("could not construct the intermediate-span scene")
+        sample = {
+            "imgs": np.zeros((3, H, W, 3), np.float32),
+            "proj_matrices": proj,
+            "depth_values": depths,
+        }
+        cfg = InferConfig(out_root="/tmp/unused", depth_block=block,
+                          feature_dtype=jnp.float32, gather_pack=pack,
+                          table_taps=6)
+        assert resolve_packed_mode(sample, cfg) == (True, 1, 6)
+
     def test_gather_pack_degrades_on_indivisible_depth_count(self, tmp_path):
         """gather_pack whose super block does not divide D must degrade to
         plain packed instead of crashing the sweep (D=12 with block 4,

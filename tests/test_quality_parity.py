@@ -41,7 +41,9 @@ import numpy as np
 import pytest
 
 from conftest import REFERENCE_ROOT
-from scenefix import make_multiplane_scene, make_plane_scene
+from scenefix import (
+    look_at_extrinsics, make_multiplane_scene, make_plane_scene,
+)
 
 CKPT = os.path.join(REFERENCE_ROOT, "checkpoints/model_dtu_v2.ckpt")
 SHIM = os.path.join(os.path.dirname(__file__), "reference_shim.py")
@@ -55,6 +57,22 @@ FOCAL, BASELINE = 2000.0, 2.0
 
 _BG = dict(z0=650.0, extent=(-25.0, 35.0, -16.0, 16.0), sigma=2.0)
 _FG = dict(z0=480.0, extent=(-5.0, 5.0, -4.0, 4.0), sigma=2.0)
+
+def _arc_rig(radius=550.0, degs=(-8.0, -4.0, 0.0, 4.0, 8.0), y_offsets=None):
+    """DTU-style rotating rig: cameras on an arc of ``radius`` around the
+    scene center, all LOOKING AT it — relative rotations up to
+    ``degs[-1] - degs[0]`` degrees, exercising the rotation-dominant
+    R_src.R_ref^-1 homography path (reference models/module.py:16-32)
+    the translate-only rigs never touch (VERDICT r4 item 2)."""
+    target = (0.0, 0.0, radius)
+    ys = y_offsets or [0.0] * len(degs)
+    pos = [
+        (radius * np.sin(np.deg2rad(a)), y,
+         radius - radius * np.cos(np.deg2rad(a)))
+        for a, y in zip(degs, ys)
+    ]
+    return look_at_extrinsics(pos, target)
+
 
 SCENES = {
     "occlusion": dict(planes=[_BG, _FG], inverse=False, sanity_acc=2.5 * DINT),
@@ -70,6 +88,26 @@ SCENES = {
     # Open-ended inverse sweep: depth bins at z~650 are ~15 units wide, so
     # the sanity bound scales with the bin width, not DINT.
     "occl_inv": dict(planes=[_BG, _FG], inverse=True, sanity_acc=40.0),
+    # Rotating look-at rig: 16 deg extreme-to-extreme rotation over the
+    # occlusion geometry — rotation-dominant homographies, the z~0 guard,
+    # and fusion's reproject round trip under rotation.
+    "rot_arc": dict(
+        planes=[dict(z0=650.0, extent=(-40.0, 40.0, -22.0, 22.0), sigma=2.0),
+                _FG],
+        inverse=False, sanity_acc=2.5 * DINT,
+        extrinsics_fn=lambda: _arc_rig(),
+    ),
+    # Mixed x/y baselines (cameras off the horizontal plane, still looking
+    # at the target -> yaw AND pitch components) + a non-centered principal
+    # point (the crop offsets real eval produces, preprocess.py:41-73).
+    "rot_mixed": dict(
+        planes=[dict(z0=650.0, extent=(-40.0, 40.0, -24.0, 24.0), sigma=2.0),
+                _FG],
+        inverse=False, sanity_acc=2.5 * DINT,
+        extrinsics_fn=lambda: _arc_rig(
+            y_offsets=[-12.0, 8.0, 0.0, -8.0, 12.0]),
+        principal_offset=(6.0, -4.0),
+    ),
 }
 
 
@@ -98,6 +136,9 @@ def _run_family_scene(root, spec):
     scene, gt_depths, K, Es = make_multiplane_scene(
         root, spec["planes"], num_views=NVIEWS, H=H, W=W, focal=FOCAL,
         baseline=BASELINE, dmin=DMIN, dint=DINT,
+        extrinsics=(spec["extrinsics_fn"]()
+                    if "extrinsics_fn" in spec else None),
+        principal_offset=spec.get("principal_offset", (0.0, 0.0)),
     )
     listfile = os.path.join(root, "list.txt")
     with open(listfile, "w") as f:

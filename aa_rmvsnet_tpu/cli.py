@@ -502,10 +502,27 @@ def cmd_train(args):
 
     def summarize(mode, images, host_batch, step):
         """TB images + .npz dump for the offline analytics suite (reference
-        train.py:236-239: save_images + save_pytorch every summary_freq)."""
-        if logger is None or (mesh is not None and nproc > 1):
-            return  # image tensors are host-local only in single-process runs
-        arrays = {k: np.asarray(v)[0] for k, v in images.items()}
+        train.py:236-239: save_images + save_pytorch every summary_freq).
+
+        Multi-host (VERDICT r4 item 6): the step outputs are GLOBAL sharded
+        arrays, so host 0 dumps its first ADDRESSABLE sample — with the
+        data axis laid out host-major by form_global_batch, that is global
+        sample 0, which pairs with this host's ``host_batch[...][0]``.
+        Spatially-sharded multi-host samples are not host-assemblable and
+        keep the skip."""
+        if logger is None:
+            return
+        if mesh is not None and nproc > 1 and args.spatial > 1:
+            return
+
+        def first_sample(v):
+            if nproc > 1 and hasattr(v, "addressable_shards"):
+                shard = min(v.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+                return np.asarray(shard.data)[0]
+            return np.asarray(v)[0]
+
+        arrays = {k: first_sample(v) for k, v in images.items()}
         arrays["depth_gt"] = np.asarray(host_batch["depth"])[0]
         arrays["mask"] = np.asarray(host_batch["mask"])[0]
         arrays["ref_img"] = np.asarray(host_batch["imgs"])[0, 0]

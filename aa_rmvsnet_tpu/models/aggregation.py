@@ -133,12 +133,29 @@ def omega_folded(params, x: jnp.ndarray, groups: int,
             None, None, :, None
         ]
 
+    # Lever-matrix knob (VERDICT r4 item 4): AA_RMVSNET_OMEGA_FORM=grouped
+    # runs the G-grouped convs as real feature_group_count convs (no FLOP
+    # waste) instead of block-diagonal dense ones.  Measured r3: OOM at the
+    # north-star config (XLA's TPU lowering materializes 32x-lane-padded
+    # 5D copies); kept selectable so smaller configs can be measured.
+    import os
+
+    grouped = os.environ.get("AA_RMVSNET_OMEGA_FORM") == "grouped"
+
     def conv(x, kernel, bias, pad):
-        y = jax.lax.conv_general_dilated(
-            x, _block_diag_kernel(kernel.astype(dtype), groups), (1, 1),
-            ((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if grouped:
+            y = jax.lax.conv_general_dilated(
+                x, jnp.tile(kernel.astype(dtype), (1, 1, 1, groups)),
+                (1, 1), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, _block_diag_kernel(kernel.astype(dtype), groups), (1, 1),
+                ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         return y + tile_vec(bias)
 
     rw0, rw1, rw2 = params["rw0"], params["rw1"], params["rw2"]

@@ -202,13 +202,17 @@ def build_patch_table_packed_quant(
 
 
 #: default per-tile budget for the packed blend's padded temporaries;
-#: overridable for experiments via AA_RMVSNET_TILE_MB (512 MB measured
-#: slightly slower than 128 MB at the north-star config, BENCHMARKS.md).
+#: overridable for experiments via AA_RMVSNET_TILE_MB.  Round-5 sweep at
+#: the north-star config (maps/s): 8 MB 0.0363, 32 MB 0.0382, **64 MB
+#: 0.0385 (default)**, 96 MB 0.0370, 128 MB 0.0373, 512 MB 0.0346 —
+#: smaller tiles keep the blend's dequantized-patch and tent-weight temps
+#: closer to VMEM (the cost-block attribution probe showed those temps,
+#: not the blend output, are the stream: scripts/probe_cost_block.py),
+#: until loop overhead dominates below ~16 MB.
 #: The budget is PER SOURCE VIEW: the blend runs under ``jax.vmap`` over S
-#: views in the cost build, so total live padded temps are ~S x this value
-#: (the measured-best 128 MB default corresponds to ~512 MB live at the
-#: north-star S=4).  The batch axis B *is* folded into the estimate.
-_TILE_TARGET_BYTES = int(os.environ.get("AA_RMVSNET_TILE_MB", "128")) * 2**20
+#: views in the cost build, so total live padded temps are ~S x this
+#: value.  The batch axis B *is* folded into the estimate.
+_TILE_TARGET_BYTES = int(os.environ.get("AA_RMVSNET_TILE_MB", "64")) * 2**20
 
 
 def _packed_tile_pixels(G: int, K: int, out_itemsize: int,

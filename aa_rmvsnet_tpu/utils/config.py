@@ -111,6 +111,7 @@ def sweep_hbm_bytes(
     fp8_residual: bool = False,
     table_taps: int = 4,
     gather_pack: int = 1,
+    fused_residual: bool = True,
 ) -> float:
     """Rough peak-HBM estimate of the inference sweep's live tensors.
 
@@ -130,10 +131,21 @@ def sweep_hbm_bytes(
     feat_b = 2 if bf16 else 4
     texels = table_taps * table_taps if packed else 4
     tables = S * px * texels * C * (1 if fp8_tables else feat_b)
-    warped = S * px * depth_block * gather_pack * C * feat_b
-    residual = (
-        S * px * depth_block * C * (1 if fp8_residual else feat_b)
-    )
+    # With the fused-residual blend epilogue (round-5 default) the bf16
+    # warped super-block never materializes — the blend tiles emit the
+    # (quantized) residual directly; the residual then spans the SUPER
+    # block.
+    if fused_residual and packed:
+        warped = 0
+        residual = (
+            S * px * depth_block * gather_pack * C
+            * (1 if fp8_residual else feat_b)
+        )
+    else:
+        warped = S * px * depth_block * gather_pack * C * feat_b
+        residual = (
+            S * px * depth_block * C * (1 if fp8_residual else feat_b)
+        )
     # omega folded intermediates: two (S, px, max(Db*4, 128)-lane) streams.
     omega = 2 * S * px * max(depth_block * 4, 128) * feat_b
     variance = px * depth_block * C * feat_b          # cost slices

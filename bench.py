@@ -493,7 +493,15 @@ def main():
         "featnet": t_feat, "gather": t_gather, "lstm": t_lstm,
         "omega": t_omega, "cost_streams": t_streams,
     }
-    t_ideal = sum(stage_budget.values())
+    # Gathers are row-LATENCY-bound (issue rate, not bytes — BENCHMARKS.md
+    # round-2), so the memory system runs the stream traffic underneath
+    # them: the ideal takes max(gather, streams), which matches both
+    # measured regimes (unpacked configs sit AT the gather ceiling with
+    # streams hidden; the packed north-star is stream-dominated with
+    # gathers the minor term).  Cap at 1.0 — a fraction above 1 means the
+    # analytic stream model over-counts for this path, which the capped
+    # value + the raw model value make visible instead of hiding.
+    t_ideal = t_feat + t_lstm + t_omega + max(t_gather, t_streams)
     flops_sem = lstm_flops + omega_sem + 200 * px * S * D + 2 * macs["feature"] * px * V
     record.update(
         gather_mrows=round(gather_rows / 1e6, 3),
@@ -508,7 +516,8 @@ def main():
         tflops_executed=round((flops_sem + omega_exec - omega_sem) / 1e12, 2),
         gbytes=round((stream + gather_rows * row_bytes) / 1e9, 2),
         bound=max(stage_budget, key=stage_budget.get),
-        roofline_fraction=round(t_ideal / dt, 3),
+        roofline_fraction=round(min(1.0, t_ideal / dt), 3),
+        roofline_fraction_model=round(t_ideal / dt, 3),
         mfu=round(flops_sem / (dt * MEASURED_CONV_FLOPS), 4),
     )
     if flops is not None:

@@ -1,0 +1,168 @@
+"""Eval-scale quality gate with the PRODUCTION lever stack ON (VERDICT r4
+item 3): one >=256x320 / D256 / V5 ray-cast scene through the real eval
+driver with bf16 + fp8 tables + fp8 residual + gather_pack + fused
+residual (the shipped degrade chain) vs the same eval at fp32, asserting
+the 1% acc/comp bar and final-mask agreement after BOTH runs are fused.
+
+This is the missing link between the unit-scale lever guardrails
+(tests/test_models.py) and the judged 864x1152/D512 config: at D=256 the
+fp8 table/residual error gets ~4x more hypotheses to accumulate over than
+the 64-bin family scenes.
+
+Usage:
+    python scripts/eval_scale_gate.py [--cpu] [--height 256 --width 320
+        --ndepths 256]
+
+Prints one markdown row + one JSON line; exits non-zero if a gate fails.
+The pytest wrapper (tests/test_quality_parity.py::TestEvalScaleGate) runs
+this at the same scale when AA_RMVSNET_EVAL_SCALE_GATE=1 (roughly an hour
+of CPU — not part of the default slow suite; the measured row lives in
+BENCHMARKS.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import numpy as np
+
+CKPT = "/root/reference/checkpoints/model_dtu_v2.ckpt"
+
+
+def run_gate(H=256, W=320, D=256, nviews=5, root=None, progress=True):
+    from scenefix import make_multiplane_scene
+    from aa_rmvsnet_tpu.cli import main as cli_main
+    from aa_rmvsnet_tpu.core.ply import read_ply
+    from aa_rmvsnet_tpu.pipeline.fuse import FuseConfig, fuse_scan
+    from aa_rmvsnet_tpu.utils.quality import accuracy_completeness
+    import cv2
+
+    root = root or tempfile.mkdtemp(prefix="eval_scale_gate_")
+    dmin, dint = 425.0, 1.0
+    # Geometry tuned so the production degrade chain ENGAGES the full
+    # super-pack: span over gather_pack*depth_block = 16 bins ~ 0.3 px at
+    # the background plane — well inside the 6x6 window's 4 px contract.
+    planes = [
+        dict(z0=650.0, extent=(-60.0, 70.0, -40.0, 40.0), sigma=2.0),
+        dict(z0=480.0, extent=(-12.0, 12.0, -9.0, 9.0), sigma=2.0),
+    ]
+    scene, gt_depths, K, Es = make_multiplane_scene(
+        root, planes, num_views=nviews, H=H, W=W, focal=2000.0,
+        baseline=4.0, dmin=dmin, dint=dint,
+    )
+    listfile = os.path.join(root, "list.txt")
+    with open(listfile, "w") as f:
+        f.write("scan1\n")
+
+    common = [
+        "eval", "--testpath", root, "--testlist", listfile,
+        "--preset", "dtu_eval_smoke", "--loadckpt", CKPT,
+        "--numdepth", str(D), "--interval_scale", "1.0",
+        "--max_h", str(H), "--max_w", str(W), "--view_num", str(nviews),
+        "--depth_block", "8",
+    ]
+    arms = {
+        "fp32": ["--fp32"],
+        # The shipped production stack (bench/README defaults): bf16 +
+        # fp8 tables + fp8 residual + 6x6 super-packed gathers + fused
+        # residual epilogue, resolved per sample by the degrade chain.
+        "levers": ["--fp8_tables", "--fp8_residual", "--gather_pack", "2",
+                   "--table_taps", "6"],
+    }
+    out = {}
+    for arm, extra in arms.items():
+        arm_out = os.path.join(root, f"out_{arm}")
+        cli_main(common + ["--outdir", arm_out] + extra)
+        fuse_dir = os.path.join(root, f"fuse_{arm}")
+        import shutil
+
+        shutil.copytree(os.path.join(arm_out, "scan1"),
+                        os.path.join(fuse_dir, "scan1"))
+        ply = os.path.join(fuse_dir, "scan1.ply")
+        fuse_scan(scene, os.path.join(fuse_dir, "scan1"), ply,
+                  FuseConfig(num_workers=4), save_masks=True)
+        xyz = read_ply(ply)[0]
+        masks = []
+        for v in range(nviews):
+            m = cv2.imread(
+                os.path.join(fuse_dir, f"scan1/mask/{v:08d}_final.png"), 0)
+            assert m is not None, (arm, v)
+            masks.append(m > 127)
+        out[arm] = (xyz, masks)
+        if progress:
+            print(f"[{arm}] fused {len(xyz)} points", flush=True)
+
+    # Analytic GT cloud (union of per-view exact back-projections).
+    Kinv = np.linalg.inv(K.astype(np.float64))
+    pts = []
+    for depth, E in zip(gt_depths, Es):
+        x, y = np.meshgrid(np.arange(W), np.arange(H))
+        m = depth > 0
+        uv1 = np.vstack([x[m], y[m], np.ones(m.sum())])
+        cam = Kinv @ (uv1 * depth[m])
+        world = (np.linalg.inv(E.astype(np.float64))
+                 @ np.vstack([cam, np.ones(cam.shape[1])]))[:3]
+        pts.append(world.T)
+    gt = np.concatenate(pts).astype(np.float32)
+
+    (fp32_xyz, fp32_masks), (lev_xyz, lev_masks) = out["fp32"], out["levers"]
+    m32 = accuracy_completeness(fp32_xyz, gt, max_dist=10.0)
+    mlev = accuracy_completeness(lev_xyz, gt, max_dist=10.0)
+    disagreement = float(np.mean(
+        [np.mean(a != b) for a, b in zip(fp32_masks, lev_masks)]
+    ))
+    record = {
+        "config": f"{H}x{W}_D{D}_V{nviews}",
+        "acc_fp32": round(m32["accuracy_mean"], 3),
+        "acc_levers": round(mlev["accuracy_mean"], 3),
+        "comp_fp32": round(m32["completeness_mean"], 3),
+        "comp_levers": round(mlev["completeness_mean"], 3),
+        "mask_disagreement": round(disagreement, 5),
+        "points_fp32": len(fp32_xyz),
+        "points_levers": len(lev_xyz),
+    }
+    gates = {
+        "acc_within_1pct": mlev["accuracy_mean"]
+        <= m32["accuracy_mean"] * 1.01 + 1e-3,
+        "comp_within_1pct": mlev["completeness_mean"]
+        <= m32["completeness_mean"] * 1.01 + 1e-3,
+        "mask_agreement_1pct": disagreement <= 0.01,
+        "sanity_nonvacuous": len(fp32_xyz) > 5000
+        and m32["accuracy_mean"] < 25.0,
+    }
+    record["gates"] = gates
+    record["ok"] = all(gates.values())
+    return record
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--ndepths", type=int, default=256)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    record = run_gate(args.height, args.width, args.ndepths)
+    print("| config | acc(levers) | acc(fp32) | comp(levers) | comp(fp32) "
+          "| mask disagreement |")
+    print(f"| {record['config']} | {record['acc_levers']} | "
+          f"{record['acc_fp32']} | {record['comp_levers']} | "
+          f"{record['comp_fp32']} | {record['mask_disagreement'] * 100:.2f}% |")
+    print(json.dumps(record))
+    raise SystemExit(0 if record["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

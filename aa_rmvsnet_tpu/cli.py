@@ -107,6 +107,11 @@ def _add_eval(sub):
     p.add_argument("--fp8_tables", action="store_true",
                    help="fp8-quantized warp patch tables (half the bytes on "
                         "the dominant gather stream)")
+    p.add_argument("--int8_tables", action="store_true",
+                   help="int8-quantized warp patch tables + MXU-native "
+                        "int8 blend on packed samples (same bytes as fp8, "
+                        "no bf16 dequantized-patches temp; measured MORE "
+                        "accurate than fp8 — tests/test_models.py)")
     p.add_argument("--fanout", type=int, default=1,
                    help="shard batches of N same-shape samples across a "
                         "data mesh axis of N devices (eval fleet mode)")
@@ -145,6 +150,14 @@ def _add_fuse(sub):
                         "the final per-scan cloud (vertex order identical "
                         "to a single-host fuse)")
     p.add_argument("--num_hosts", type=int, default=1)
+    p.add_argument("--display", action="store_true",
+                   help="interactively show ref image + photo/geo/final "
+                        "masks per view (reference fusion.py:238-244); "
+                        "needs a GUI — headless hosts get the same masks "
+                        "as PNGs via save_masks")
+    p.add_argument("--save_masks", action="store_true",
+                   help="write photo/geo/final masks as PNGs under "
+                        "<outdir>/<scan>/mask/")
     return p
 
 
@@ -329,7 +342,10 @@ def cmd_eval(args):
             save_png_previews=args.save_png,
             fold_omega=args.fold_omega, pallas_gates=args.pallas_gates,
             packed_rows=args.packed_rows,
-            table_dtype=jnp.float8_e4m3fn if args.fp8_tables else None,
+            table_dtype=(
+                jnp.int8 if args.int8_tables
+                else jnp.float8_e4m3fn if args.fp8_tables else None
+            ),
             gather_pack=args.gather_pack, table_taps=args.table_taps,
             residual_dtype=jnp.float8_e4m3fn if args.fp8_residual else None,
             fused_residual=not args.no_fused_residual,
@@ -372,15 +388,21 @@ def cmd_fuse(args):
             continue
 
         out = ply if block is None else block_path(ply, args.view_block)
+        if args.display and args.test_dataset == "tnt_padded":
+            print("WARNING: --display is not supported by the padded "
+                  "fusion (matching the reference, whose fusion_padding.py "
+                  "has no display path); ignoring", flush=True)
         if args.test_dataset == "dtu":
             n = fuse_scan(scan_folder, depth_folder, out,
                           FuseConfig(photo_threshold=thr, num_workers=args.num_workers),
-                          view_block=block)
+                          view_block=block, save_masks=args.save_masks,
+                          display=args.display)
         elif args.test_dataset == "tnt":
             thr = args.photo_threshold if args.photo_threshold is not None else 0.2
             n = fuse_scan(scan_folder, depth_folder, out,
                           FuseConfig(photo_threshold=thr, num_workers=args.num_workers),
-                          view_block=block)
+                          view_block=block, save_masks=args.save_masks,
+                          display=args.display)
         else:
             n = fuse_scan_padded(scan_folder, depth_folder, out,
                                  num_workers=args.num_workers, view_block=block)

@@ -78,8 +78,12 @@ def build_patch_table_quant(feat: jnp.ndarray, dtype=jnp.float8_e4m3fn):
     B, H, W, C = feat.shape
     feat32 = feat.astype(jnp.float32)
     amax = jnp.max(jnp.abs(feat32), axis=(1, 2), keepdims=True)  # (B,1,1,C)
-    scale = jnp.maximum(amax / _F8_MAX, 1e-12)
-    q = (feat32 / scale).astype(dtype)
+    if dtype == jnp.int8:
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(feat32 / scale), -127, 127).astype(dtype)
+    else:
+        scale = jnp.maximum(amax / _F8_MAX, 1e-12)
+        q = (feat32 / scale).astype(dtype)
     table = build_patch_table(q)
     return table, jnp.tile(scale.reshape(B, 1, C), (1, 1, 4))
 
@@ -190,13 +194,24 @@ def build_patch_table4_quant(feat: jnp.ndarray, dtype=jnp.float8_e4m3fn):
 def build_patch_table_packed_quant(
     feat: jnp.ndarray, dtype=jnp.float8_e4m3fn, taps: int = 4
 ):
-    """fp8 variant of :func:`build_patch_table_packed`; ``scale`` is
-    ``(B, 1, taps^2 * C)``."""
+    """Quantized variant of :func:`build_patch_table_packed`; ``scale`` is
+    ``(B, 1, taps^2 * C)``.
+
+    ``dtype=jnp.int8`` stores the table as per-channel-amax-scaled int8
+    (uniform 1/127 resolution — comparable to e4m3's ~3 mantissa bits on
+    post-GN features, and it unlocks the MXU-native int8 blend path in
+    :func:`patch_bilinear_sample_packed`: the dot consumes the int8 rows
+    DIRECTLY, so the bf16 dequantized-patches temp — the blend's largest
+    HBM stream, scripts/probe_cost_block.py — never materializes)."""
     B, H, W, C = feat.shape
     feat32 = feat.astype(jnp.float32)
     amax = jnp.max(jnp.abs(feat32), axis=(1, 2), keepdims=True)
-    scale = jnp.maximum(amax / _F8_MAX, 1e-12)
-    q = (feat32 / scale).astype(dtype)
+    if dtype == jnp.int8:
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(feat32 / scale), -127, 127).astype(dtype)
+    else:
+        scale = jnp.maximum(amax / _F8_MAX, 1e-12)
+        q = (feat32 / scale).astype(dtype)
     table = build_patch_table_packed(q, taps=taps)
     return table, jnp.tile(scale.reshape(B, 1, C), (1, 1, taps * taps))
 
@@ -337,10 +352,6 @@ def patch_bilinear_sample_packed(
         idx = (ay * width + ax).astype(jnp.int32)
 
         rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B,gt,T*T*C)
-        rows = rows.astype(out_dtype)
-        if scale is not None:
-            rows = rows * scale.astype(out_dtype)
-        patches = rows.reshape(B, gt, T * T, C)  # (B, gt, tap, C)
 
         # Per-sample tent weights over the T patch rows / cols, combined
         # into ONE (B, gt, K, T^2) tap-weight tensor so the whole blend is
@@ -351,9 +362,31 @@ def patch_bilinear_sample_packed(
         wx = tent(xt[..., None] - (ax[:, :, None, None] + tap_pos))  # (B,gt,K,T)
         wy = tent(yt[..., None] - (ay[:, :, None, None] + tap_pos))
         w16 = (wy[..., :, None] * wx[..., None, :]).reshape(B, gt, K, T * T)
-        out = jnp.einsum(
-            "bgkt,bgtc->bgkc", w16.astype(out_dtype), patches
-        )
+
+        if table.dtype == jnp.int8:
+            # MXU-native int8 blend: the dot consumes the gathered int8
+            # rows DIRECTLY (no bf16 dequantized-patches temp — the
+            # blend's largest HBM stream) and the tent weights are
+            # quantized onto a 1/127 grid (error <= 0.4% per tap; exact
+            # zeros stay zero, preserving the padding semantics).  The
+            # per-channel table scale and the 1/127 weight step fold into
+            # ONE multiply on the small (K*C) output.
+            patches = rows.reshape(B, gt, T * T, C)
+            w16q = jnp.clip(jnp.round(w16 * 127.0), 0, 127).astype(jnp.int8)
+            out32 = jnp.einsum(
+                "bgkt,bgtc->bgkc", w16q, patches,
+                preferred_element_type=jnp.int32,
+            )
+            s_c = scale[:, :, :C].astype(out_dtype) / 127.0  # (B, 1, C)
+            out = out32.astype(out_dtype) * s_c[:, :, None, :]
+        else:
+            rows = rows.astype(out_dtype)
+            if scale is not None:
+                rows = rows * scale.astype(out_dtype)
+            patches = rows.reshape(B, gt, T * T, C)  # (B, gt, tap, C)
+            out = jnp.einsum(
+                "bgkt,bgtc->bgkc", w16.astype(out_dtype), patches
+            )
         # Fold (K, C) -> K*C inside the tile: the stacked full-frame result
         # then never exists in a 32-lane-minor layout.
         out = out.reshape(B, gt, K * C)

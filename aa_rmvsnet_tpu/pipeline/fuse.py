@@ -280,6 +280,7 @@ def fuse_scan(
     config: FuseConfig = FuseConfig(),
     save_masks: bool = False,
     view_block: tuple[int, int] | None = None,
+    display: bool = False,
 ) -> int:
     """Filter + fuse one scan into a PLY file.  Returns the vertex count.
 
@@ -288,6 +289,10 @@ def fuse_scan(
     ``view_block``: optional ``(block, num_blocks)`` — process only that
     contiguous ref-view block (distributing ONE large scan across hosts);
     merge the per-block PLYs afterwards with :func:`merge_ply_blocks`.
+    ``display``: interactively show ref image | photo | geo | final masks
+    per ref view (reference fusion.py:238-244 ``--display``); forces a
+    serial loop and requires a GUI — on headless hosts use
+    ``save_masks`` (the PNG equivalent) instead.
     """
     pairs = read_pair_file(os.path.join(scan_folder, "pair.txt"))
     if view_block is not None:
@@ -348,6 +353,23 @@ def fuse_scan(
         fused_depth = (reproj_sum + ref_depth) / (loose_sum + 1)
 
         final_mask = photo_mask & geo_mask
+        if display:
+            panes = [np.ascontiguousarray((img[..., ::-1] * 255).astype(np.uint8))] + [
+                cv2.cvtColor((m * np.uint8(255)).astype(np.uint8),
+                             cv2.COLOR_GRAY2BGR)
+                for m in (photo_mask, geo_mask, final_mask)
+            ]
+            try:
+                cv2.imshow(f"ref {ref_view:08d}  img | photo | geo | final",
+                           np.concatenate(panes, axis=1))
+                cv2.waitKey(0)
+                cv2.destroyAllWindows()
+            except cv2.error as e:
+                raise RuntimeError(
+                    "--display needs a GUI-capable OpenCV/display; on a "
+                    "headless host use save_masks (writes the same masks "
+                    "as PNGs)"
+                ) from e
         if save_masks:
             os.makedirs(os.path.join(depth_folder, "mask"), exist_ok=True)
             for tag, m in (("photo", photo_mask), ("geo", geo_mask), ("final", final_mask)):
@@ -365,12 +387,18 @@ def fuse_scan(
         return xyz_world.T.astype(np.float32), (colors * 255).astype(np.uint8)
 
     results = []
-    with ThreadPoolExecutor(max_workers=config.num_workers) as pool:
-        futures = [pool.submit(process_ref, rv, sv) for rv, sv in pairs]
-        for f in futures:
-            r = f.result()
+    if display:  # serial: cv2 windows must run on the main thread
+        for rv, sv in pairs:
+            r = process_ref(rv, sv)
             if r is not None:
                 results.append(r)
+    else:
+        with ThreadPoolExecutor(max_workers=config.num_workers) as pool:
+            futures = [pool.submit(process_ref, rv, sv) for rv, sv in pairs]
+            for f in futures:
+                r = f.result()
+                if r is not None:
+                    results.append(r)
 
     if not results and view_block is None:
         raise RuntimeError(f"no fused points for {scan_folder} (missing depth maps?)")

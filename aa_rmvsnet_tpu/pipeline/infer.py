@@ -187,10 +187,18 @@ def resolve_packed_mode(sample, config: InferConfig):
             block * gp, margin=config.pack_margin, taps=taps,
         )
 
-    modes = [(config.gather_pack, config.table_taps)]
-    for fallback in ((1, config.table_taps), (1, 4)):
-        if fallback not in modes:
-            modes.append(fallback)
+    # Mode preference at equal exactness: the 4x4 window BEFORE the 6x6
+    # one at each pack level — same row count but 512-lane rows gather
+    # 1.6x faster than 1152-lane ones and the tables cost 2.25x less HBM
+    # (53.2 vs 32.5 Mrows/s, BENCHMARKS.md row-rate calibration; the r5
+    # preset matrix measured the TnT 544x1024 geometry 3% slower when the
+    # chain picked 6x6 where 4x4 sufficed).  config.table_taps acts as
+    # the window-size CAP.
+    modes = []
+    for gp in (config.gather_pack, 1):
+        for taps in (4, config.table_taps):
+            if (gp, taps) not in modes:
+                modes.append((gp, taps))
     if config.packed_rows != "auto":
         if not config.packed_rows:
             return (False, 1, 4)

@@ -277,11 +277,18 @@ def main():
     H, W, D, V = cfg["H"], cfg["W"], cfg["D"], cfg["V"]
     block, iters = cfg["block"], cfg["iters"]
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
-    table_dtype = (
-        jnp.float8_e4m3fn
-        if os.environ.get("BENCH_TABLE_DTYPE", "fp8") == "fp8"
-        else None
-    )
+    # int8 default (round-5): MXU-native int8 blend — the dot consumes the
+    # quantized rows directly, so the bf16 dequantized-patches temp (the
+    # blend's largest HBM stream, scripts/probe_cost_block.py) never
+    # materializes.  Measured 0.0406 vs 0.0385 fp8 at the north-star
+    # config, AND more accurate than fp8 (uniform 1/127 per-channel
+    # resolution; tests/test_models.py quantized-table guardrails).
+    table_env = os.environ.get("BENCH_TABLE_DTYPE", "int8")
+    table_dtype = {
+        "fp8": jnp.float8_e4m3fn,
+        "int8": jnp.int8,
+        "none": None,
+    }[table_env]
     residual_dtype = (
         jnp.float8_e4m3fn
         if os.environ.get("BENCH_RESIDUAL_DTYPE", "fp8") == "fp8"
@@ -329,10 +336,17 @@ def main():
     gather_pack = int(os.environ.get("BENCH_GATHER_PACK", 2))
     table_taps = int(os.environ.get("BENCH_TABLE_TAPS", 6))
     pack_margin = float(os.environ.get("BENCH_PACK_MARGIN", 0.98))
-    # Degrade chain mirroring the inference driver: requested lever set ->
-    # plain packed (pack=1, 4x4) -> exact per-depth path.
+    # Degrade chain mirroring the inference driver
+    # (pipeline.infer.resolve_packed_mode): at each pack level prefer the
+    # 4x4 window (1.6x faster rows, 2.25x less table HBM) and use the
+    # requested taps as the window-size cap; then drop the super-pack.
     gate = False
-    for gp, taps in ((gather_pack, table_taps), (1, 4)):
+    modes = []
+    for gp in (gather_pack, 1):
+        for taps in (4, table_taps):
+            if (gp, taps) not in modes:
+                modes.append((gp, taps))
+    for gp, taps in modes:
         if pick_packed_rows(proj[0], depths[0], H, W, block * gp,
                             margin=pack_margin, taps=taps):
             gather_pack, table_taps, gate = gp, taps, True
@@ -415,7 +429,7 @@ def main():
         "vs_baseline": round(maps_per_s / V100_BASELINE_MAPS_PER_S, 3),
         "config": {
             "dtype": "bf16" if dtype == jnp.bfloat16 else "fp32",
-            "fp8_tables": table_dtype is not None,
+            "table_dtype": table_env if table_dtype is not None else "none",
             "fold_omega": fold_omega, "pallas_gates": pallas_gates,
             "packed_rows": packed_rows, "depth_block": block,
             "fp8_residual": config.residual_dtype is not None,

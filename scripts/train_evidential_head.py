@@ -33,14 +33,15 @@ sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax.numpy as jnp
 import optax
 
 CKPT = "/root/reference/checkpoints/model_dtu_v2.ckpt"
-H, W, D, NVIEWS = 48, 48, 32, 3
+H, W, D, NVIEWS = 32, 32, 32, 3
 DMIN, DINT, PLANE = 425.0, 2.75, 470.0  # plane ~bin 16.4 of 32
 
 
@@ -69,7 +70,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(_ROOT, "checkpoints",
                                                   "evidential_head"))
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--tpu", action="store_true",
+                    help="train on the attached TPU instead of forcing CPU "
+                         "(the 3D-conv head is ~10x faster there; results "
+                         "are fetched to host before the orbax save)")
     args = ap.parse_args()
 
     from aa_rmvsnet_tpu.models.convert import load_torch_checkpoint
@@ -84,8 +89,7 @@ def main():
     params = load_torch_checkpoint(CKPT)
     root = tempfile.mkdtemp(prefix="ev_head_train_")
 
-    bands = [(0.25, 0.5), (0.5, 0.75), (0.0, 0.25), (0.6, 0.9),
-             (0.1, 0.35), (0.4, 0.6)]
+    bands = [(0.25, 0.5), (0.5, 0.75), (0.0, 0.25), (0.6, 0.9)]
     data = [_volume(params, root, f"train{i}", band, seed=100 + i)
             for i, band in enumerate(bands)]
     probs = jnp.asarray(np.concatenate([p for p, _ in data]))
@@ -164,8 +168,10 @@ def main():
         import shutil
 
         shutil.rmtree(out)
-    ocp.StandardCheckpointer().save(
-        out, {"params": p, "batch_stats": stats}, force=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out, {"params": jax.device_get(p),
+                     "batch_stats": jax.device_get(stats)}, force=True)
+    ckptr.wait_until_finished()  # async save: commit before exit
     with open(out + "_summary.json", "w") as f:
         json.dump(summary, f, indent=1)
     print(f"artifact written: {out}")

@@ -533,14 +533,16 @@ class TestEvidentialCLI:
             "--max_h", "32", "--max_w", "32", "--fp32",
             "--evidential_ckpt", head_dir, "--save_png",
         ])
-        for sub in ("depth_est_0", "confidence_0", "epistemic_0",
-                    "aleatoric_0"):
+        png_dir = {"depth_est_0": "depth_png_0",
+                   "confidence_0": "confidence_png_0",
+                   "epistemic_0": "epistemic_png_0",
+                   "aleatoric_0": "aleatoric_png_0"}
+        for sub in png_dir:
             arr = read_pfm(os.path.join(out, "scan1", sub,
                                         "00000000.pfm"))[0]
             assert np.isfinite(arr).all(), sub
             assert os.path.exists(os.path.join(
-                out, "scan1", sub.replace("_0", "_png_0"),
-                "00000000.png")), sub
+                out, "scan1", png_dir[sub], "00000000.png")), sub
         # The trained head's gamma (the eval depth under
         # depth_source=evidential) must localize the plane: the scene is
         # the family the artifact was trained/gated on.

@@ -303,17 +303,26 @@ class TestFullNetworkParity:
             atol=1e-4,
         )
 
-    def test_fp8_table_sweep_matches_fp32(self, params):
-        """The fp8-quantized warp-table perf path must track the exact sweep:
+    @pytest.mark.parametrize("table_dtype,packed", [
+        ("fp8", False), ("int8", True),
+    ])
+    def test_quantized_table_sweep_matches_fp32(self, params, table_dtype,
+                                                packed):
+        """The quantized warp-table perf paths must track the exact sweep:
         depths agree to within one hypothesis bin almost everywhere and the
-        probability volumes stay close (per-channel-scaled e4m3 keeps ~3
-        mantissa bits on each channel's own range)."""
+        probability volumes stay close.  fp8: per-channel-scaled e4m3 (~3
+        mantissa bits on each channel's own range).  int8 (packed path
+        only — it exists to feed the MXU-native int8 blend): uniform 1/127
+        per-channel resolution plus 1/127-grid tent weights — measured
+        MORE accurate than fp8 on the same scene."""
         imgs, proj, depths = _random_scene(seed=3)
+        dt = jnp.float8_e4m3fn if table_dtype == "fp8" else jnp.int8
         exact = forward(params, jnp.asarray(imgs), jnp.asarray(proj),
-                        jnp.asarray(depths), SweepConfig(depth_block=4))
+                        jnp.asarray(depths),
+                        SweepConfig(depth_block=4, packed_rows=packed))
         quant = forward(
             params, jnp.asarray(imgs), jnp.asarray(proj), jnp.asarray(depths),
-            SweepConfig(depth_block=4, table_dtype=jnp.float8_e4m3fn),
+            SweepConfig(depth_block=4, table_dtype=dt, packed_rows=packed),
         )
         bin_w = float(depths[0, 1] - depths[0, 0])
         d_exact = np.asarray(exact["depth"])

@@ -99,6 +99,13 @@ def _add_eval(sub):
     p.add_argument("--fp8_residual", action="store_true",
                    help="store the squared residual in fp8 (APPROXIMATE; "
                         "see the quality gate in tests/test_models.py)")
+    p.add_argument("--int8_residual", action="store_true",
+                   help="store the squared residual in int8 and feed "
+                        "omega's rw0 conv the quantized tensor directly "
+                        "(MXU-native int8 conv, no bf16 convert; ~3% "
+                        "faster than fp8 residual but LOSSIER on the "
+                        "small-residual end — gate with "
+                        "scripts/eval_scale_gate.py before production)")
     p.add_argument("--no_fused_residual", action="store_true",
                    help="disable the fused-residual blend epilogue on "
                         "packed samples (bitwise-identical lever that "
@@ -347,7 +354,10 @@ def cmd_eval(args):
                 else jnp.float8_e4m3fn if args.fp8_tables else None
             ),
             gather_pack=args.gather_pack, table_taps=args.table_taps,
-            residual_dtype=jnp.float8_e4m3fn if args.fp8_residual else None,
+            residual_dtype=(
+                jnp.int8 if args.int8_residual
+                else jnp.float8_e4m3fn if args.fp8_residual else None
+            ),
             fused_residual=not args.no_fused_residual,
             feature_view_chunk=args.feat_chunk,
             mesh=mesh, pipeline_maps=args.pipeline_maps,

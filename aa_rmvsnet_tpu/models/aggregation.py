@@ -124,7 +124,8 @@ def omega_folded(params, x: jnp.ndarray, groups: int,
     ``omega_folded(p, q, G, s) == omega_folded(p, q * tile(s), G)`` exactly
     without ever materializing the dequantized residual stream.
     """
-    dtype = x.dtype
+    int8_in = x.dtype == jnp.int8
+    dtype = jnp.bfloat16 if int8_in else x.dtype
     tile_vec = lambda v: jnp.tile(v.astype(dtype), (groups,))
 
     rw0_kernel = params["rw0"]["conv"]["kernel"]
@@ -160,7 +161,30 @@ def omega_folded(params, x: jnp.ndarray, groups: int,
 
     rw0, rw1, rw2 = params["rw0"], params["rw1"], params["rw2"]
 
-    y = conv(x, rw0_kernel, rw0["conv"]["bias"], pad=1)
+    if int8_in:
+        # int8 residual input (SweepConfig.residual_dtype=int8): run rw0
+        # as an MXU-native int8 conv so the quantized residual is consumed
+        # DIRECTLY — the fp8 residual lever's fp8->bf16 convert was
+        # observed to re-materialize the whole residual stream (~261
+        # GB/map at the north-star config, BENCHMARKS.md r4/r5).  The
+        # per-channel input scale is already folded into rw0_kernel above;
+        # the folded kernel is then quantized per OUTPUT channel onto a
+        # 1/127 grid (weights-only quantization, ~0.4% — the same grid
+        # the int8 blend uses) and the two scales ride the small conv
+        # output.
+        bd = _block_diag_kernel(rw0_kernel.astype(jnp.float32), groups)
+        kmax = jnp.maximum(jnp.max(jnp.abs(bd), axis=(0, 1, 2)), 1e-12)
+        bd_q = jnp.clip(jnp.round(bd / kmax * 127.0), -127, 127).astype(
+            jnp.int8)
+        y32 = jax.lax.conv_general_dilated(
+            x, bd_q, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y32.astype(dtype) * (kmax / 127.0).astype(dtype)
+        y = y + tile_vec(rw0["conv"]["bias"])
+    else:
+        y = conv(x, rw0_kernel, rw0["conv"]["bias"], pad=1)
     y = _group_norm_folded(y, tile_vec(rw0["gn"]["scale"]),
                            tile_vec(rw0["gn"]["bias"]), groups, 4)
     y = nn.relu(y)

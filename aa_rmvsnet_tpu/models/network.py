@@ -466,9 +466,12 @@ def _cost_from_warped(
 
     if residual_dtype is not None:
         # Quantize the residual ONCE (sub/square/scale/cast fuse into one
-        # pass over `warped`); both consumers read the fp8 tensor.
+        # pass over `warped`); both consumers read the quantized tensor.
         inv = (1.0 / residual_scale).astype(ref_feat.dtype)
-        residual_sq = (residual_sq * jnp.tile(inv, (Db,))).astype(residual_dtype)
+        scaled = residual_sq * jnp.tile(inv, (Db,))
+        if residual_dtype == jnp.int8:
+            scaled = jnp.clip(jnp.round(scaled.astype(jnp.float32)), 0, 127)
+        residual_sq = scaled.astype(residual_dtype)
 
     return _cost_from_residual(
         params, residual_sq, C, ref_feat.dtype, residual_scale, residual_dtype
@@ -490,7 +493,13 @@ def _cost_from_residual(
     Db = DbC // C
 
     flat = residual_sq.transpose(1, 0, 2, 3, 4).reshape(B * S, H, W, Db * C)
-    if residual_dtype is not None:
+    if residual_dtype == jnp.int8:
+        # omega consumes the int8 residual DIRECTLY (MXU-native int8 rw0
+        # conv inside omega_folded) — no bf16 convert materialization.
+        weights = omega_folded(
+            params["params"]["omega"], flat, Db, input_scale=residual_scale,
+        )
+    elif residual_dtype is not None:
         weights = omega_folded(
             params["params"]["omega"], flat.astype(compute_dtype), Db,
             input_scale=residual_scale,
@@ -657,13 +666,16 @@ def sweep(
                 "residual_dtype requires packed_rows or fold_omega=True "
                 "(the folded cost layouts)"
             )
-        # Shared (max over views + ref) per-channel fp8 scale so one
-        # scale serves every view's residual (kernel-foldable in omega).
+        # Shared (max over views + ref) per-channel quantization scale so
+        # one scale serves every view's residual (kernel-foldable in
+        # omega).  fp8 e4m3 maps onto +-448; int8 onto [0, 127] (the
+        # squared residual is non-negative).
         a = jnp.maximum(
             jnp.max(jnp.abs(src_feats.astype(jnp.float32)), axis=(0, 1, 2, 3)),
             jnp.max(jnp.abs(ref_feat.astype(jnp.float32)), axis=(0, 1, 2)),
         )
-        residual_scale = jnp.maximum((2.0 * a) ** 2 / 448.0, 1e-12)
+        qmax = 127.0 if config.residual_dtype == jnp.int8 else 448.0
+        residual_scale = jnp.maximum((2.0 * a) ** 2 / qmax, 1e-12)
     if config.packed_rows:
         build = functools.partial(
             _build_cost_block_packed, table_taps=config.table_taps,

@@ -393,10 +393,13 @@ def patch_bilinear_sample_packed(
         if rt is not None:
             # Fused residual epilogue on the folded layout — same op order
             # as the unfused path (subtract, square, inv-scale multiply in
-            # compute dtype, cast), so results are bitwise identical.
+            # compute dtype, cast — round+clip for int8), so results are
+            # bitwise identical to it.
             out = (out - jnp.tile(rt.astype(out_dtype), (1, 1, K))) ** 2
             if inv_kc is not None:
                 out = out * inv_kc
+            if residual_dtype == jnp.int8:
+                out = jnp.clip(jnp.round(out.astype(jnp.float32)), 0, 127)
             if residual_dtype is not None:
                 out = out.astype(residual_dtype)
         return out

@@ -289,11 +289,14 @@ def main():
         "int8": jnp.int8,
         "none": None,
     }[table_env]
-    residual_dtype = (
-        jnp.float8_e4m3fn
-        if os.environ.get("BENCH_RESIDUAL_DTYPE", "fp8") == "fp8"
-        else None
-    )
+    residual_dtype = {
+        "fp8": jnp.float8_e4m3fn,
+        # int8 residual: omega's rw0 runs as an MXU-native int8 conv on
+        # the quantized residual directly (no bf16 convert
+        # rematerialization — models/aggregation.py).
+        "int8": jnp.int8,
+        "none": None,
+    }[os.environ.get("BENCH_RESIDUAL_DTYPE", "fp8")]
     fo_env = os.environ.get("BENCH_FOLD_OMEGA", "0")
     fold_omega = "hybrid" if fo_env == "hybrid" else fo_env == "1"
     pallas_gates = os.environ.get("BENCH_PALLAS", "0") == "1"

@@ -75,10 +75,18 @@ def run_gate(H=256, W=320, D=256, nviews=5, root=None, progress=True):
     arms = {
         "fp32": ["--fp32"],
         # The shipped production stack (bench/README defaults): bf16 +
-        # fp8 tables + fp8 residual + 6x6 super-packed gathers + fused
-        # residual epilogue, resolved per sample by the degrade chain.
-        "levers": ["--fp8_tables", "--fp8_residual", "--gather_pack", "2",
-                   "--table_taps", "6"],
+        # int8 tables (MXU-native blend) + fp8 residual + super-packed
+        # gathers (6x6 window cap) + fused residual epilogue, resolved
+        # per sample by the degrade chain.  AA_RMVSNET_GATE_LEVERS
+        # overrides the lever arm (space-separated CLI flags) for
+        # gating experimental stacks, e.g. "--int8_tables --int8_residual
+        # --gather_pack 2 --table_taps 6".
+        "levers": (
+            os.environ["AA_RMVSNET_GATE_LEVERS"].split()
+            if os.environ.get("AA_RMVSNET_GATE_LEVERS")
+            else ["--int8_tables", "--fp8_residual", "--gather_pack", "2",
+                  "--table_taps", "6"]
+        ),
     }
     out = {}
     for arm, extra in arms.items():

@@ -601,13 +601,16 @@ class TestSweepLevers:
         b = omega_folded(p, x, G, input_scale=scale)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
 
-    def test_fp8_residual_close_to_exact(self, params):
-        """The fp8 residual-storage lever (SweepConfig.residual_dtype) is
-        APPROXIMATE (~2 significant digits on the squared residual): on a
-        random-noise scene near-tied costs flip freely, so the gate runs on
-        a photoconsistent scene with the bf16-guardrail criterion — >=90% of
-        all pixels and >=99% of confident pixels (conf > 0.3, what fusion
-        keeps) within one depth bin of the exact packed sweep."""
+    @pytest.mark.parametrize("res_dtype", ["fp8", "int8"])
+    def test_quantized_residual_close_to_exact(self, params, res_dtype):
+        """The quantized residual-storage levers (SweepConfig.residual_dtype)
+        are APPROXIMATE (fp8: ~2 significant digits; int8: uniform 1/127
+        grid, coarser on the small-residual end but consumed by an
+        MXU-native omega conv): on a random-noise scene near-tied costs
+        flip freely, so the gate runs on a photoconsistent scene with the
+        bf16-guardrail criterion — >=90% of all pixels and >=99% of
+        confident pixels (conf > 0.3, what fusion keeps) within one depth
+        bin of the exact packed sweep."""
         import tempfile
 
         from scenefix import make_plane_scene
@@ -629,11 +632,19 @@ class TestSweepLevers:
         assert pick_packed_rows(s["proj_matrices"], s["depth_values"],
                                 128, 160, 4)
 
+        # int8 is OPT-IN (not the default residual dtype) precisely
+        # because it sits just under fp8's confident-pixel bar: measured
+        # 98.8% here and 1.04% fused-mask disagreement at the eval-scale
+        # gate (vs fp8's 99%+ / 0.34%) — acc/comp themselves BEAT fp32
+        # (BENCHMARKS.md r5).  The bars below record those measured
+        # levels so a regression in either lever is caught.
+        conf_bar = 0.99 if res_dtype == "fp8" else 0.98
+        rd = jnp.float8_e4m3fn if res_dtype == "fp8" else jnp.int8
         cfg = dict(depth_block=4, packed_rows=True, collect_volume=False,
                    table_dtype=jnp.float8_e4m3fn)
         base = forward(params, imgs, proj, depths, SweepConfig(**cfg))
         q = forward(params, imgs, proj, depths,
-                    SweepConfig(**cfg, residual_dtype=jnp.float8_e4m3fn))
+                    SweepConfig(**cfg, residual_dtype=rd))
         d0, c0 = (np.asarray(base[k]) for k in
                   ("depth", "photometric_confidence"))
         dq = np.asarray(q["depth"])
@@ -641,7 +652,7 @@ class TestSweepLevers:
         assert within.mean() >= 0.90, within.mean()
         confident = c0 > 0.3
         assert confident.mean() > 0.5  # the gate must be non-vacuous
-        assert within[confident].mean() >= 0.99, within[confident].mean()
+        assert within[confident].mean() >= conf_bar, within[confident].mean()
 
     def test_fp8_residual_folded_equals_packed(self, params):
         """fold_omega=True + fp8 residual (the minimum-peak-HBM recipe for

@@ -99,6 +99,12 @@ def _add_eval(sub):
     p.add_argument("--fp8_residual", action="store_true",
                    help="store the squared residual in fp8 (APPROXIMATE; "
                         "see the quality gate in tests/test_models.py)")
+    p.add_argument("--dual_residual", action="store_true",
+                   help="store the squared residual TWICE: an fp8 copy "
+                        "for the variance (its precision profile) + an "
+                        "int8 copy consumed by omega's MXU-native conv — "
+                        "the quality-safe int8-residual variant "
+                        "(fp8-level guardrails, ~1% faster than fp8)")
     p.add_argument("--int8_residual", action="store_true",
                    help="store the squared residual in int8 and feed "
                         "omega's rw0 conv the quantized tensor directly "
@@ -355,7 +361,8 @@ def cmd_eval(args):
             ),
             gather_pack=args.gather_pack, table_taps=args.table_taps,
             residual_dtype=(
-                jnp.int8 if args.int8_residual
+                "dual" if args.dual_residual
+                else jnp.int8 if args.int8_residual
                 else jnp.float8_e4m3fn if args.fp8_residual else None
             ),
             fused_residual=not args.no_fused_residual,

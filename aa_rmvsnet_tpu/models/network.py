@@ -439,7 +439,8 @@ def _warp_packed(
             residual_inv_scale=inv_scale,
             residual_dtype=residual_dtype if ref_flat is not None else None,
         )  # (B, H*W, K*C) — folded layout straight out of the tile blend
-        return out.reshape(B, H, W, -1)
+        # ("dual" residual mode emits an (fp8, int8) pair).
+        return jax.tree.map(lambda o: o.reshape(B, H, W, -1), out)
 
     if table_scales is None:
         return jax.vmap(lambda t, r, tr: warp_one_view(t, r, tr, None))(
@@ -469,9 +470,17 @@ def _cost_from_warped(
         # pass over `warped`); both consumers read the quantized tensor.
         inv = (1.0 / residual_scale).astype(ref_feat.dtype)
         scaled = residual_sq * jnp.tile(inv, (Db,))
-        if residual_dtype == jnp.int8:
-            scaled = jnp.clip(jnp.round(scaled.astype(jnp.float32)), 0, 127)
-        residual_sq = scaled.astype(residual_dtype)
+        if residual_dtype == "dual":
+            i8 = jnp.clip(
+                jnp.round(scaled.astype(jnp.float32) * (127.0 / 448.0)),
+                0, 127,
+            ).astype(jnp.int8)
+            residual_sq = (scaled.astype(jnp.float8_e4m3fn), i8)
+        else:
+            if residual_dtype == jnp.int8:
+                scaled = jnp.clip(
+                    jnp.round(scaled.astype(jnp.float32)), 0, 127)
+            residual_sq = scaled.astype(residual_dtype)
 
     return _cost_from_residual(
         params, residual_sq, C, ref_feat.dtype, residual_scale, residual_dtype
@@ -487,13 +496,27 @@ def _cost_from_residual(
     residual_dtype: Any = None,
 ) -> jnp.ndarray:
     """Omega reweight + view-mean variance on a folded (and possibly
-    fp8-quantized) ``(S, B, H, W, Db*C)`` squared residual ->
-    ``(Db, B, H, W, C)`` cost."""
-    S, B, H, W, DbC = residual_sq.shape
+    quantized) ``(S, B, H, W, Db*C)`` squared residual ->
+    ``(Db, B, H, W, C)`` cost.
+
+    ``residual_dtype="dual"``: ``residual_sq`` is an ``(fp8, int8)`` pair
+    — omega's MXU-native int8 conv consumes the int8 copy (no bf16
+    convert rematerialization) while the variance keeps the fp8 copy's
+    precision profile."""
+    if residual_dtype == "dual":
+        r_var, r_omega = residual_sq
+    else:
+        r_var = r_omega = residual_sq
+    S, B, H, W, DbC = r_var.shape
     Db = DbC // C
 
-    flat = residual_sq.transpose(1, 0, 2, 3, 4).reshape(B * S, H, W, Db * C)
-    if residual_dtype == jnp.int8:
+    flat = r_omega.transpose(1, 0, 2, 3, 4).reshape(B * S, H, W, Db * C)
+    if residual_dtype == "dual":
+        weights = omega_folded(
+            params["params"]["omega"], flat, Db,
+            input_scale=residual_scale * (448.0 / 127.0),
+        )
+    elif residual_dtype == jnp.int8:
         # omega consumes the int8 residual DIRECTLY (MXU-native int8 rw0
         # conv inside omega_folded) — no bf16 convert materialization.
         weights = omega_folded(
@@ -508,7 +531,7 @@ def _cost_from_residual(
         weights = omega_folded(params["params"]["omega"], flat, Db)
     weights = weights.reshape(B, S, H, W, Db).transpose(1, 0, 2, 3, 4)
 
-    r6 = residual_sq.reshape(S, B, H, W, Db, C)
+    r6 = r_var.reshape(S, B, H, W, Db, C)
     if residual_dtype is not None:
         r6 = r6.astype(compute_dtype) * residual_scale.astype(compute_dtype)
     variance = jnp.sum((weights[..., None] + 1.0) * r6, axis=0) / S
@@ -779,8 +802,11 @@ def sweep(
             )  # (S, B, H, W, pack*block*C)
         ys_list = []
         for i in range(pack):
-            w_i = jax.lax.slice_in_dim(
-                warped_super, i * block * C, (i + 1) * block * C, axis=4
+            w_i = jax.tree.map(
+                lambda a: jax.lax.slice_in_dim(
+                    a, i * block * C, (i + 1) * block * C, axis=4
+                ),
+                warped_super,
             )
             if config.fused_residual:
                 cost_block = _cost_from_residual(

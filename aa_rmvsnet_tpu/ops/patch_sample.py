@@ -398,6 +398,16 @@ def patch_bilinear_sample_packed(
             out = (out - jnp.tile(rt.astype(out_dtype), (1, 1, K))) ** 2
             if inv_kc is not None:
                 out = out * inv_kc
+            if residual_dtype == "dual":
+                # Dual-output: fp8 for the variance (keeps its precision
+                # profile) + an int8 copy for omega's MXU-native conv.
+                # The fp8-scaled value spans [0, 448]; x 127/448 maps its
+                # amax onto the int8 grid (dequant scale = s8 * 448/127).
+                i8 = jnp.clip(
+                    jnp.round(out.astype(jnp.float32) * (127.0 / 448.0)),
+                    0, 127,
+                ).astype(jnp.int8)
+                return out.astype(jnp.float8_e4m3fn), i8
             if residual_dtype == jnp.int8:
                 out = jnp.clip(jnp.round(out.astype(jnp.float32)), 0, 127)
             if residual_dtype is not None:
@@ -415,6 +425,10 @@ def patch_bilinear_sample_packed(
             xs = xs + (
                 ref.reshape(B, num_tiles, gt, C).transpose(1, 0, 2, 3),
             )
-        out = jax.lax.map(blend_tile, xs)  # (T, B, gt, K*C)
-        out = out.transpose(1, 0, 2, 3).reshape(B, G, K * C)
-    return out if folded_out else out.reshape(B, G, K, C)
+        out = jax.lax.map(blend_tile, xs)  # (T, B, gt, K*C) (or a tuple)
+        out = jax.tree.map(
+            lambda o: o.transpose(1, 0, 2, 3).reshape(B, G, K * C), out
+        )
+    if folded_out:
+        return out
+    return jax.tree.map(lambda o: o.reshape(B, G, K, C), out)

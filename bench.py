@@ -59,7 +59,10 @@ Flags via env:
   gather_pack*depth_block hypotheses — round-4 winner),
   BENCH_TABLE_TAPS (4|6, default 6: packed-window size; 6 = 4 px
   exactness span), BENCH_PACK_MARGIN (default 0.98), BENCH_RESIDUAL_DTYPE
-  (fp8|none, default fp8: fp8 squared-residual storage, quality-gated),
+  (dual|fp8|int8|none, default dual: fp8 residual for the variance + an
+  int8 copy consumed by omega's MXU-native conv — quality-gated at the
+  fp8 level; "int8" alone is ~1.9% faster still but lossier),
+  BENCH_TABLE_DTYPE (int8|fp8|none, default int8: MXU-native int8 blend),
   BENCH_FEAT_CHUNK (default 0: FeatNet view-chunk size, peak-HBM bound),
   BENCH_SAMPLER (linear|inverse_bounded, default linear),
   BENCH_DEADLINE_S (supervisor deadline, default 2700),
@@ -295,8 +298,11 @@ def main():
         # the quantized residual directly (no bf16 convert
         # rematerialization — models/aggregation.py).
         "int8": jnp.int8,
+        # dual: fp8 copy for the variance + int8 copy for omega's conv —
+        # the quality-safe int8-residual variant.
+        "dual": "dual",
         "none": None,
-    }[os.environ.get("BENCH_RESIDUAL_DTYPE", "fp8")]
+    }[os.environ.get("BENCH_RESIDUAL_DTYPE", "dual")]
     fo_env = os.environ.get("BENCH_FOLD_OMEGA", "0")
     fold_omega = "hybrid" if fo_env == "hybrid" else fo_env == "1"
     pallas_gates = os.environ.get("BENCH_PALLAS", "0") == "1"
@@ -435,7 +441,12 @@ def main():
             "table_dtype": table_env if table_dtype is not None else "none",
             "fold_omega": fold_omega, "pallas_gates": pallas_gates,
             "packed_rows": packed_rows, "depth_block": block,
-            "fp8_residual": config.residual_dtype is not None,
+            "residual_dtype": (
+                "none" if config.residual_dtype is None
+                else "dual" if config.residual_dtype == "dual"
+                else "int8" if config.residual_dtype == jnp.int8
+                else "fp8"
+            ),
             "gather_pack": config.gather_pack,
             "table_taps": table_taps,
             "fused_residual": config.fused_residual,

@@ -97,7 +97,7 @@ def main():
         resolved = (
             f"packed={c.get('packed_rows')} pack={c.get('gather_pack')} "
             f"taps={c.get('table_taps')} block={c.get('depth_block')} "
-            f"fp8res={c.get('fp8_residual')}"
+            f"tables={c.get('table_dtype')} residual={c.get('residual_dtype')}"
         )
         print(f"| {r['preset']} | {r['value']} | {resolved} | "
               f"{r.get('bound', '?')} | {r.get('roofline_fraction', '?')} |")

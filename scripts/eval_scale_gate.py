@@ -84,7 +84,7 @@ def run_gate(H=256, W=320, D=256, nviews=5, root=None, progress=True):
         "levers": (
             os.environ["AA_RMVSNET_GATE_LEVERS"].split()
             if os.environ.get("AA_RMVSNET_GATE_LEVERS")
-            else ["--int8_tables", "--fp8_residual", "--gather_pack", "2",
+            else ["--int8_tables", "--dual_residual", "--gather_pack", "2",
                   "--table_taps", "6"]
         ),
     }

@@ -502,8 +502,18 @@ def main():
     fi = jnp.dtype(dtype).itemsize
     ri = 1 if config.residual_dtype is not None else fi
     folded = packed_rows or fold_omega is True
-    # squared residual: written once, read twice (omega conv + variance).
-    stream = 3 * px * S * D * 32 * ri * (1 if folded else 4)
+    if config.residual_dtype == "dual":
+        # fp8 + int8 copies each written once and read once (variance /
+        # omega's int8 conv respectively).
+        stream = 4 * px * S * D * 32
+    else:
+        # squared residual: written once, read twice (omega conv +
+        # variance); the fp8 path's omega read goes through a bf16
+        # convert that re-materializes (measured r4/r5) — counted as one
+        # extra write+read at bf16.
+        stream = 3 * px * S * D * 32 * ri * (1 if folded else 4)
+        if config.residual_dtype == jnp.float8_e4m3fn:
+            stream += 2 * px * S * D * 32 * fi
     if not config.fused_residual:
         # bf16 warped volume written by the blend and re-read by the
         # residual chain (the fused_residual lever removes this stream).
@@ -533,7 +543,7 @@ def main():
     flops_sem = lstm_flops + omega_sem + 200 * px * S * D + 2 * macs["feature"] * px * V
     record.update(
         gather_mrows=round(gather_rows / 1e6, 3),
-        gather_roofline_fraction=round(t_gather / dt, 3),
+        gather_roofline_fraction=round(t_gather / dt, 6),
         stage_budget_s={k: round(v, 2) for k, v in stage_budget.items()},
         stage_budget_model="analytic; per-stage ceilings: gather row-rate "
         f"{row_rate / 1e6:.1f} Mrows/s, conv {MEASURED_CONV_FLOPS / 1e12:.1f} "

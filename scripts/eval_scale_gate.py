@@ -37,7 +37,8 @@ import numpy as np
 CKPT = "/root/reference/checkpoints/model_dtu_v2.ckpt"
 
 
-def run_gate(H=256, W=320, D=256, nviews=5, root=None, progress=True):
+def run_gate(H=256, W=320, D=256, nviews=5, root=None, progress=True,
+             baseline=12.0):
     from scenefix import make_multiplane_scene
     from aa_rmvsnet_tpu.cli import main as cli_main
     from aa_rmvsnet_tpu.core.ply import read_ply
@@ -57,9 +58,12 @@ def run_gate(H=256, W=320, D=256, nviews=5, root=None, progress=True):
         dict(z0=650.0, extent=(-80.0, 100.0, -45.0, 45.0), sigma=2.0),
         dict(z0=480.0, extent=(-12.0, 12.0, -9.0, 9.0), sigma=2.0),
     ]
+    # baseline=12 is tuned for the 320-wide default (per-bin epipolar
+    # displacement ~0.08 px); smaller frames need proportionally smaller
+    # baselines or the views stop overlapping.
     scene, gt_depths, K, Es = make_multiplane_scene(
         root, planes, num_views=nviews, H=H, W=W, focal=2000.0,
-        baseline=12.0, dmin=dmin, dint=dint,
+        baseline=baseline, dmin=dmin, dint=dint,
     )
     listfile = os.path.join(root, "list.txt")
     with open(listfile, "w") as f:

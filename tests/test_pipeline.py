@@ -342,6 +342,44 @@ class TestInferencePackedLevers:
                 os.path.join(out_root, "scan1/depth_est_0/00000000.pfm"))[0]
         np.testing.assert_allclose(outs["packed"], outs["base"], atol=1e-3)
 
+    def test_int8_dual_levers_through_infer_driver(self, tmp_path):
+        """The round-5 production levers (int8 tables + MXU blend, dual
+        residual, fused epilogue) through run_inference: outputs stay
+        within one depth bin of the unquantized driver output almost
+        everywhere on a photoconsistent scene."""
+        import jax
+        import jax.numpy as jnp
+
+        from aa_rmvsnet_tpu.core.pfm import read_pfm
+        from aa_rmvsnet_tpu.models.convert import load_torch_checkpoint
+        from aa_rmvsnet_tpu.pipeline.infer import InferConfig, run_inference
+
+        ckpt = "/root/reference/checkpoints/model_dtu_v2.ckpt"
+        if not os.path.exists(ckpt):
+            pytest.skip("shipped checkpoint absent")
+        make_plane_scene(tmp_path, H=64, W=96, num_views=3, focal=600.0)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+        ds = EvalDataset(str(tmp_path), str(listfile), nviews=3, ndepths=32,
+                         max_h=64, max_w=96)
+        params = load_torch_checkpoint(ckpt)
+        outs = {}
+        for tag, kwargs in (
+            ("base", dict()),
+            ("levers", dict(table_dtype=jnp.int8, residual_dtype="dual",
+                            gather_pack=2, table_taps=6)),
+        ):
+            out_root = str(tmp_path / f"out_{tag}")
+            run_inference(params, ds, InferConfig(
+                out_root=out_root, depth_block=4,
+                feature_dtype=jnp.float32, num_workers=0, **kwargs,
+            ), progress=False)
+            outs[tag] = read_pfm(
+                os.path.join(out_root, "scan1/depth_est_0/00000000.pfm"))[0]
+        bin_w = float(ds[0]["depth_values"][1] - ds[0]["depth_values"][0])
+        within = np.abs(outs["levers"] - outs["base"]) <= bin_w + 1e-6
+        assert within.mean() >= 0.90, within.mean()
+
     def test_degrade_chain_keeps_same_window_plain_packed(self):
         """A sample whose SUPER-pack gate fails but whose plain-packed
         span still fits the 6x6 window must resolve to (True, 1, 6) — not

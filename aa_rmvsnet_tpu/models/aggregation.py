@@ -161,6 +161,80 @@ def omega_folded(params, x: jnp.ndarray, groups: int,
 
     rw0, rw1, rw2 = params["rw0"], params["rw1"], params["rw2"]
 
+    # Round-5 experiment (AA_RMVSNET_OMEGA_INT8=chain, int8 input only):
+    # run the WHOLE omega chain on the MXU int8 path — stems/rw2 consume
+    # int8-quantized activations, not just rw0.  Activation scales are
+    # STATIC, derived from each stage's GN affine parameters: the GN output
+    # is scale_c * x_norm + bias_c with x_norm zero-mean unit-variance, so
+    # |out_c| <= |scale_c| * SB + |bias_c| for a sigma clip bound SB (8 —
+    # ~1e6-sample Gaussian tails stay under it; resolution is then
+    # bound/127 ~ 0.06 sigma).  Per-input-channel act scales fold into the
+    # next kernel before its own per-output-channel 1/127 quantization —
+    # the same two-scale algebra as the existing rw0 int8 conv.  Wins
+    # 1.24x MXU rate (scripts/probe_int8_rate.py) on the stem/rw2 FLOPs
+    # AND halves the GN-output/conv-operand streams (int8 vs bf16).
+    chain8 = int8_in and os.environ.get("AA_RMVSNET_OMEGA_INT8") == "chain"
+
+    def _quant_kernel(kernel, a_in=None):
+        """Block-diag int8 kernel + per-output-channel dequant scale; folds
+        optional per-input-channel activation scales first."""
+        k = kernel.astype(jnp.float32)
+        if a_in is not None:
+            k = k * a_in[None, None, :, None]
+        kmax = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-12)
+        bdq = _block_diag_kernel(
+            jnp.clip(jnp.round(k / kmax * 127.0), -127, 127), groups
+        ).astype(jnp.int8)
+        return bdq, kmax / 127.0  # per-block (cout,); _conv8 tiles it
+
+    def _conv8(xq, bdq, co_scale, bias, pad):
+        y32 = jax.lax.conv_general_dilated(
+            xq, bdq, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return y32.astype(dtype) * jnp.tile(co_scale.astype(dtype), (groups,)
+                                            ) + tile_vec(bias)
+
+    if chain8:
+        sb = 8.0
+
+        def gn_bound(gn):  # (4,) upper bound of |GN output| per channel
+            return (jnp.abs(gn["scale"].astype(jnp.float32)) * sb
+                    + jnp.abs(gn["bias"].astype(jnp.float32)))
+
+        def quant_act(xf, a4):  # xf >= 0 (post-relu); a4: (4,) fp32 scales
+            a = jnp.tile((a4 / 127.0).astype(dtype), (groups,))
+            return jnp.clip(jnp.round(xf / a), 0, 127).astype(jnp.int8)
+
+        def gn(t, stage):
+            return _group_norm_folded(
+                t, tile_vec(stage["scale"]), tile_vec(stage["bias"]),
+                groups, 4)
+
+        b1 = gn_bound(rw0["gn"])
+        y = _conv8(x, *_quant_kernel(rw0_kernel), rw0["conv"]["bias"], 1)
+        yq = quant_act(nn.relu(gn(y, rw0["gn"])), b1)  # the only live y
+
+        b2 = gn_bound(rw1["stem0"]["gn"])
+        z = _conv8(yq, *_quant_kernel(rw1["stem0"]["conv"]["kernel"],
+                                      b1 / 127.0),
+                   rw1["stem0"]["conv"]["bias"], 0)
+        zq = quant_act(nn.relu(gn(z, rw1["stem0"]["gn"])), b2)
+
+        z = _conv8(zq, *_quant_kernel(rw1["stem1"]["kernel"], b2 / 127.0),
+                   rw1["stem1"]["bias"], 0)
+        z = gn(z, rw1["gn"])
+        # residual add: dequantize yq inside the elementwise chain
+        y_deq = yq.astype(dtype) * jnp.tile((b1 / 127.0).astype(dtype),
+                                            (groups,))
+        b3 = gn_bound(rw1["gn"]) + b1  # bound of relu(z + y)
+        sq = quant_act(nn.relu(z + y_deq), b3)
+
+        w = _conv8(sq, *_quant_kernel(rw2["kernel"], b3 / 127.0),
+                   rw2["bias"], 0)
+        return nn.sigmoid(w)
+
     if int8_in:
         # int8 residual input (SweepConfig.residual_dtype=int8): run rw0
         # as an MXU-native int8 conv so the quantized residual is consumed

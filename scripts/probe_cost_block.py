@@ -7,6 +7,10 @@
 Times each as its own jitted dispatch at the north-star super-block shape
 and extrapolates x num_super.  Usage:
     python scripts/probe_cost_block.py [HxW] [D] [BLOCK] [PACK]
+
+PROBE_RESIDUAL=fp8|int8|dual (default fp8) selects the residual-storage
+lever, so the int8/dual omega paths (and AA_RMVSNET_OMEGA_INT8=chain) can
+be isolated here too.
 """
 
 from __future__ import annotations
@@ -88,13 +92,17 @@ def main():
         lambda sp, rp: jax.vmap(lambda s: homography_terms(s, rp, H, W))(sp)
     )(src_projs, proj[:, 0])
 
-    # fp8 residual scale (as sweep() derives it)
+    # residual scale (as sweep() derives it); PROBE_RESIDUAL picks the
+    # storage lever (fp8 default, int8, or the dual fp8+int8 pair)
+    import os
+    res_mode = os.environ.get("PROBE_RESIDUAL", "fp8")
     a = jnp.maximum(
         jnp.max(jnp.abs(src_feats.astype(jnp.float32)), axis=(0, 1, 2, 3)),
         jnp.max(jnp.abs(ref_feat.astype(jnp.float32)), axis=(0, 1, 2)),
     )
-    rscale = jnp.maximum((2.0 * a) ** 2 / 448.0, 1e-12)
-    f8 = jnp.float8_e4m3fn
+    qmax = 127.0 if res_mode == "int8" else 448.0
+    rscale = jnp.maximum((2.0 * a) ** 2 / qmax, 1e-12)
+    f8 = {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8, "dual": "dual"}[res_mode]
     ref_flat = ref_feat.reshape(B, H * W, 32)
 
     warp_fn = jax.jit(lambda tb, rg, tr, db, sc, rf, rs: _warp_packed(
@@ -110,8 +118,10 @@ def main():
     def omega_var(p, res, rs):
         outs = []
         for i in range(pack):
-            r_i = jax.lax.slice_in_dim(
-                res, i * block * 32, (i + 1) * block * 32, axis=4)
+            r_i = jax.tree.map(
+                lambda t: jax.lax.slice_in_dim(
+                    t, i * block * 32, (i + 1) * block * 32, axis=4),
+                res)
             outs.append(_cost_from_residual(p, r_i, 32, bf16, rs, f8))
         return jnp.stack(outs)
 
@@ -124,10 +134,14 @@ def main():
         p, _warp_packed(tb, rg, tr, db, sc, bf16, H, W, taps=taps,
                         ref_flat=rf, residual_scale=rs, residual_dtype=f8),
         rs))
-    t_both = timeit(both_fn, params16, tables, rot_grids, transes,
-                    depth_super, scales, ref_flat, rscale)
-    print(f"full cost block (1 super-block): {t_both:.4f}s  "
-          f"x{num_super} = {t_both * num_super:.2f}s/map")
+    del residual  # the combined dispatch re-creates it; free the HBM
+    try:
+        t_both = timeit(both_fn, params16, tables, rot_grids, transes,
+                        depth_super, scales, ref_flat, rscale)
+        print(f"full cost block (1 super-block): {t_both:.4f}s  "
+              f"x{num_super} = {t_both * num_super:.2f}s/map")
+    except Exception as e:  # dual holds 2 residual copies; can OOM here
+        print(f"full cost block: skipped ({type(e).__name__})")
 
 
 if __name__ == "__main__":

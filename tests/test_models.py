@@ -601,6 +601,38 @@ class TestSweepLevers:
         b = omega_folded(p, x, G, input_scale=scale)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
 
+    def test_omega_int8_chain_close_to_int8_base(self, monkeypatch):
+        """AA_RMVSNET_OMEGA_INT8=chain (full int8 omega: stems/rw2 consume
+        GN-affine-statically-scaled int8 activations, not just rw0) tracks
+        the shipped int8 path on checkpoint weights.  Bars encode the
+        measured deviation levels on realistic squared-residual inputs
+        (chain vs fp32-exact: mean 0.016 / max 0.14 on the (0, 1) sigmoid
+        weights; base int8 is mean 0.008 / max 0.10 — the end-to-end dual
+        guardrail above passes with the chain ON at the same 0.99
+        confident-pixel bar)."""
+        import jax
+
+        from aa_rmvsnet_tpu.models.aggregation import omega_folded
+
+        params = load_torch_checkpoint(CKPT)
+        om = jax.tree.map(lambda t: t.astype(jnp.bfloat16),
+                          params["params"]["omega"])
+        rng = np.random.RandomState(0)
+        G = 8
+        raw = (rng.randn(2, 24, 32, G * 32) ** 2).astype(np.float32)
+        scale = jnp.asarray(
+            (np.abs(rng.randn(32)) * 0.1 + 0.05).astype(np.float32))
+        xq = jnp.asarray(
+            np.clip(np.round(raw / np.tile(np.asarray(scale), G)), 0, 127)
+            .astype(np.int8))
+
+        base = omega_folded(om, xq, G, input_scale=scale)
+        monkeypatch.setenv("AA_RMVSNET_OMEGA_INT8", "chain")
+        chain = omega_folded(om, xq, G, input_scale=scale)
+        d = np.abs(np.asarray(base, np.float32) - np.asarray(chain, np.float32))
+        assert d.mean() < 0.03, d.mean()
+        assert d.max() < 0.25, d.max()
+
     @pytest.mark.parametrize("res_dtype", ["fp8", "int8", "dual"])
     def test_quantized_residual_close_to_exact(self, params, res_dtype):
         """The quantized residual-storage levers (SweepConfig.residual_dtype)

@@ -431,11 +431,21 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     maps_per_s = 1.0 / dt
+    # Host contention is an auditable failure mode: a concurrently-running
+    # CPU test suite once degraded this bench 4x (0.0103 vs 0.0414 clean,
+    # identical program) by starving the tunnel client's host-side
+    # dispatch.  Record the 1-min load so a polluted measurement is
+    # distinguishable from a real regression after the fact.
+    try:
+        load_1m = round(os.getloadavg()[0], 1)
+    except OSError:
+        load_1m = None
     record = {
         "metric": f"depth_maps_per_sec_per_chip_{H}x{W}_D{D}_V{V}",
         "value": round(maps_per_s, 4),
         "unit": "depth-maps/s/chip",
         "vs_baseline": round(maps_per_s / V100_BASELINE_MAPS_PER_S, 3),
+        "host_load_1m": load_1m,
         "config": {
             "dtype": "bf16" if dtype == jnp.bfloat16 else "fp32",
             "table_dtype": table_env if table_dtype is not None else "none",
